@@ -1,0 +1,158 @@
+"""Shared NN building blocks for the model zoo (flax.linen, NHWC).
+
+Behavioural spec: reference `diff_foley/modules/diffusionmodules/
+openai_unetmodel.py` (ResBlock/Upsample/Downsample, GroupNorm32) re-expressed
+for TPU: NHWC layout so XLA convs tile directly onto the MXU, fp32 norm
+statistics under bf16 compute (GroupNorm32 parity, util.py:214-218), and
+`nn.remat` replacing the reference's custom CheckpointFunction.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in fp32 regardless of activation dtype.
+
+    Mirrors reference GroupNorm32 (util.py:214-218): cast in, normalise,
+    cast back. 32 groups, torch-default eps 1e-5 for UNet blocks; the
+    VAE/attention `Normalize` uses eps 1e-6.
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        x = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x)
+        return x.astype(orig_dtype)
+
+
+def conv3x3(features: int, zero_init: bool = False, name: Optional[str] = None):
+    return nn.Conv(
+        features,
+        kernel_size=(3, 3),
+        padding=((1, 1), (1, 1)),
+        kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
+        bias_init=nn.initializers.zeros,
+        name=name,
+    )
+
+
+def conv1x1(features: int, zero_init: bool = False, name: Optional[str] = None):
+    return nn.Conv(
+        features,
+        kernel_size=(1, 1),
+        kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
+        name=name,
+    )
+
+
+class TimestepEmbedMLP(nn.Module):
+    """model_channels → 4×model_channels SiLU MLP (openai_unetmodel.py:476-481)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, t_emb):
+        x = nn.Dense(self.embed_dim, name="dense0")(t_emb)
+        x = silu(x)
+        return nn.Dense(self.embed_dim, name="dense1")(x)
+
+
+class Upsample(nn.Module):
+    """Nearest ×2 upsample + 3×3 conv (openai_unetmodel.py:91-131)."""
+
+    channels: int
+    use_conv: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.use_conv:
+            x = conv3x3(self.channels, name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Stride-2 3×3 conv (openai_unetmodel.py:134-160)."""
+
+    channels: int
+    use_conv: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.use_conv:
+            return nn.Conv(
+                self.channels,
+                kernel_size=(3, 3),
+                strides=(2, 2),
+                padding=((1, 1), (1, 1)),
+                name="conv",
+            )(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class ResBlock(nn.Module):
+    """FiLM-style time-conditioned residual block (openai_unetmodel.py:163-275).
+
+    in_layers:  GN32 → SiLU → conv3x3
+    emb_layers: SiLU → Dense(out_ch or 2*out_ch)
+    out_layers: GN32 → SiLU → dropout → zero-init conv3x3
+    skip:       identity or 1×1 conv when channels change
+    """
+
+    out_channels: int
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = False
+    up: bool = False
+    down: bool = False
+
+    @nn.compact
+    def __call__(self, x, emb, deterministic: bool = True):
+        h = GroupNorm32(name="in_norm")(x)
+        h = silu(h)
+        if self.up:
+            h = Upsample(h.shape[-1], use_conv=False)(h)
+            x = Upsample(x.shape[-1], use_conv=False)(x)
+        elif self.down:
+            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        h = conv3x3(self.out_channels, name="in_conv")(h)
+
+        emb_out = nn.Dense(
+            2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
+            name="emb_dense",
+        )(silu(emb))
+        emb_out = emb_out[:, None, None, :].astype(h.dtype)
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+            h = silu(h)
+        else:
+            h = h + emb_out
+            h = GroupNorm32(name="out_norm")(h)
+            h = silu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = conv3x3(self.out_channels, zero_init=True, name="out_conv")(h)
+
+        if x.shape[-1] != self.out_channels:
+            x = conv1x1(self.out_channels, name="skip_conv")(x)
+        return x + h

@@ -1,0 +1,195 @@
+"""The SD-style conditional UNet and the half-UNet alignment classifier.
+
+Behavioural spec: reference `diff_foley/modules/diffusionmodules/
+openai_unetmodel.py:443-742` (UNetModel) and `diff_foley/modules/
+double_guidance/alignment_backbone.py:417-687` (Classifier_Backbone).
+
+Shipped operating points:
+- LDM UNet (inference/config/Stage2_LDM.yaml:21-36): in/out 4ch, 320 base,
+  mult [1,2,4,4], 2 res blocks, attention at ds {1,2,4}, 8 heads,
+  context 768, transformer_depth 1, legacy False (dim_head = ch // heads).
+- Classifier (Double_Guidance_Classifier.yaml:36-51): 128 base, mult [1,2,2],
+  1 res block, attention at ds {2,4}, context 512, 1 output logit + sigmoid.
+
+TPU-first: NHWC activations, optional bf16 compute with fp32 norms, remat
+on transformer/res blocks instead of the reference's CheckpointFunction,
+static python loops (fully unrolled under jit — shapes differ per level so
+scan would not apply).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..diffusion.schedule import timestep_embedding
+from .attention import SpatialTransformer
+from .layers import (
+    Downsample,
+    GroupNorm32,
+    ResBlock,
+    TimestepEmbedMLP,
+    Upsample,
+    conv3x3,
+    silu,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    model_channels: int = 320
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = (4, 2, 1)
+    channel_mult: Sequence[int] = (1, 2, 4, 4)
+    num_heads: int = 8
+    transformer_depth: int = 1
+    context_dim: int = 768
+    dropout: float = 0.0
+    use_checkpoint: bool = False
+    dtype: str = "float32"
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+LDM_UNET = UNetConfig()
+CLASSIFIER_BACKBONE = UNetConfig(
+    in_channels=4,
+    out_channels=1,
+    model_channels=128,
+    num_res_blocks=1,
+    attention_resolutions=(2, 4),
+    channel_mult=(1, 2, 2),
+    num_heads=8,
+    context_dim=512,
+)
+
+
+class UNetModel(nn.Module):
+    """ε-prediction UNet, NHWC in/out: (B, H, W, C) + t + (B, L, context_dim)."""
+
+    cfg: UNetConfig = LDM_UNET
+
+    @nn.compact
+    def __call__(self, x, timesteps, context, deterministic: bool = True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        t_emb = timestep_embedding(timesteps, cfg.model_channels)
+        emb = TimestepEmbedMLP(4 * cfg.model_channels, name="time_embed")(t_emb)
+        emb = emb.astype(dt)
+        x = x.astype(dt)
+        context = context.astype(dt)
+
+        def attn(ch, name):
+            return SpatialTransformer(
+                heads=cfg.num_heads,
+                dim_head=ch // cfg.num_heads,
+                depth=cfg.transformer_depth,
+                dropout=cfg.dropout,
+                remat=cfg.use_checkpoint,
+                name=name,
+            )
+
+        hs = []
+        h = conv3x3(cfg.model_channels, name="in_conv")(x)
+        hs.append(h)
+        ds = 1
+        for level, mult in enumerate(cfg.channel_mult):
+            ch = mult * cfg.model_channels
+            for i in range(cfg.num_res_blocks):
+                h = ResBlock(ch, cfg.dropout, name=f"down_{level}_{i}_res")(
+                    h, emb, deterministic
+                )
+                if ds in cfg.attention_resolutions:
+                    h = attn(ch, f"down_{level}_{i}_attn")(h, context, deterministic)
+                hs.append(h)
+            if level != len(cfg.channel_mult) - 1:
+                h = Downsample(ch, name=f"down_{level}_ds")(h)
+                hs.append(h)
+                ds *= 2
+
+        ch = cfg.channel_mult[-1] * cfg.model_channels
+        h = ResBlock(ch, cfg.dropout, name="mid_res1")(h, emb, deterministic)
+        h = attn(ch, "mid_attn")(h, context, deterministic)
+        h = ResBlock(ch, cfg.dropout, name="mid_res2")(h, emb, deterministic)
+
+        for level, mult in reversed(list(enumerate(cfg.channel_mult))):
+            ch = mult * cfg.model_channels
+            for i in range(cfg.num_res_blocks + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                h = ResBlock(ch, cfg.dropout, name=f"up_{level}_{i}_res")(
+                    h, emb, deterministic
+                )
+                if ds in cfg.attention_resolutions:
+                    h = attn(ch, f"up_{level}_{i}_attn")(h, context, deterministic)
+                if i == cfg.num_res_blocks and level != 0:
+                    h = Upsample(ch, name=f"up_{level}_us")(h)
+                    ds //= 2
+        assert not hs
+
+        h = GroupNorm32(name="out_norm")(h)
+        h = silu(h)
+        h = conv3x3(cfg.out_channels, zero_init=True, name="out_conv")(h)
+        return h.astype(jnp.float32)
+
+
+class ClassifierBackbone(nn.Module):
+    """Half-UNet alignment classifier: P(audio aligned with video | x_t, t).
+
+    Encoder trunk of :class:`UNetModel` + head:
+    GN → SiLU → zero conv(ch→ch/2) → global avg pool → Dense(1) → sigmoid
+    (alignment_backbone.py:630-687).
+    """
+
+    cfg: UNetConfig = CLASSIFIER_BACKBONE
+
+    @nn.compact
+    def __call__(self, x, timesteps, context, deterministic: bool = True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        t_emb = timestep_embedding(timesteps, cfg.model_channels)
+        emb = TimestepEmbedMLP(4 * cfg.model_channels, name="time_embed")(t_emb)
+        emb = emb.astype(dt)
+        x = x.astype(dt)
+        context = context.astype(dt)
+
+        def attn(ch, name):
+            return SpatialTransformer(
+                heads=cfg.num_heads,
+                dim_head=ch // cfg.num_heads,
+                depth=cfg.transformer_depth,
+                dropout=cfg.dropout,
+                remat=cfg.use_checkpoint,
+                name=name,
+            )
+
+        h = conv3x3(cfg.model_channels, name="in_conv")(x)
+        ds = 1
+        for level, mult in enumerate(cfg.channel_mult):
+            ch = mult * cfg.model_channels
+            for i in range(cfg.num_res_blocks):
+                h = ResBlock(ch, cfg.dropout, name=f"down_{level}_{i}_res")(
+                    h, emb, deterministic
+                )
+                if ds in cfg.attention_resolutions:
+                    h = attn(ch, f"down_{level}_{i}_attn")(h, context, deterministic)
+            if level != len(cfg.channel_mult) - 1:
+                h = Downsample(ch, name=f"down_{level}_ds")(h)
+                ds *= 2
+
+        ch = cfg.channel_mult[-1] * cfg.model_channels
+        h = ResBlock(ch, cfg.dropout, name="mid_res1")(h, emb, deterministic)
+        h = attn(ch, "mid_attn")(h, context, deterministic)
+        h = ResBlock(ch, cfg.dropout, name="mid_res2")(h, emb, deterministic)
+
+        h = GroupNorm32(name="out_norm")(h)
+        h = silu(h)
+        h = conv3x3(ch // 2, zero_init=True, name="out_conv")(h)
+        h = h.mean(axis=(1, 2))  # AdaptiveAvgPool2d((1,1))
+        h = nn.Dense(cfg.out_channels, name="classifier")(h.astype(jnp.float32))
+        return nn.sigmoid(h)

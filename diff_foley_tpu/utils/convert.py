@@ -1,0 +1,298 @@
+"""Torch checkpoint → JAX parameter-tree conversion.
+
+Covers the four released model families (SURVEY.md §5 "Checkpoint / resume"):
+LDM UNet, first-stage VAE (AutoencoderKL), conditioning encoder, and the
+alignment-classifier backbone.  Layout transforms:
+
+- Conv2d  (O, I, kh, kw) → HWIO (kh, kw, I, O)
+- Linear  (O, I)         → (I, O)
+- GroupNorm/LayerNorm weight → scale (unchanged)
+- Embedding (N, D)       → unchanged
+
+Key layouts follow the reference state dicts (`diff_foley/modules/
+diffusionmodules/openai_unetmodel.py:443-742`, `diff_foley/models/
+autoencoder.py`, `.../alignment_backbone.py:417-687`). A composite
+LatentDiffusion checkpoint splits on the `model.diffusion_model.` /
+`first_stage_model.` / `cond_stage_model.` prefixes (ddpm.py:1545-1571).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Mapping, Tuple
+
+import numpy as np
+
+Array = np.ndarray
+StateDict = Mapping[str, "object"]
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().numpy()  # torch tensor
+
+
+def _conv(t) -> np.ndarray:
+    return _np(t).transpose(2, 3, 1, 0)
+
+
+def _dense(t) -> np.ndarray:
+    return _np(t).transpose(1, 0)
+
+
+def _id(t) -> np.ndarray:
+    return _np(t)
+
+
+def _set(tree: Dict, path: str, value: np.ndarray) -> None:
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+class _Mapper:
+    def __init__(self, sd: StateDict, prefix: str = ""):
+        self.sd = sd
+        self.prefix = prefix
+        self.tree: Dict = {}
+        self.used: set = set()
+
+    def take(self, my_path: str, torch_key: str, tf: Callable) -> None:
+        key = self.prefix + torch_key
+        _set(self.tree, my_path, tf(self.sd[key]))
+        self.used.add(key)
+
+    # composite helpers -------------------------------------------------
+    def gn(self, my: str, torch: str) -> None:
+        # flax GroupNorm32 wraps nn.GroupNorm as GroupNorm_0
+        self.take(f"{my}/GroupNorm_0/scale", f"{torch}.weight", _id)
+        self.take(f"{my}/GroupNorm_0/bias", f"{torch}.bias", _id)
+
+    def gn_flat(self, my: str, torch: str) -> None:
+        self.take(f"{my}/scale", f"{torch}.weight", _id)
+        self.take(f"{my}/bias", f"{torch}.bias", _id)
+
+    def conv(self, my: str, torch: str) -> None:
+        self.take(f"{my}/kernel", f"{torch}.weight", _conv)
+        self.take(f"{my}/bias", f"{torch}.bias", _id)
+
+    def dense(self, my: str, torch: str, bias: bool = True) -> None:
+        self.take(f"{my}/kernel", f"{torch}.weight", _dense)
+        if bias:
+            self.take(f"{my}/bias", f"{torch}.bias", _id)
+
+    def resblock(self, my: str, torch: str, has_skip: bool) -> None:
+        self.gn(f"{my}/in_norm", f"{torch}.in_layers.0")
+        self.conv(f"{my}/in_conv", f"{torch}.in_layers.2")
+        self.dense(f"{my}/emb_dense", f"{torch}.emb_layers.1")
+        self.gn(f"{my}/out_norm", f"{torch}.out_layers.0")
+        self.conv(f"{my}/out_conv", f"{torch}.out_layers.3")
+        if has_skip:
+            self.conv(f"{my}/skip_conv", f"{torch}.skip_connection")
+
+    def spatial_transformer(self, my: str, torch: str, depth: int = 1) -> None:
+        self.gn_flat(f"{my}/norm", f"{torch}.norm")
+        self.conv(f"{my}/proj_in", f"{torch}.proj_in")
+        for d in range(depth):
+            tb = f"{torch}.transformer_blocks.{d}"
+            mb = f"{my}/block{d}"
+            for n in (1, 2, 3):
+                self.gn_flat(f"{mb}/norm{n}", f"{tb}.norm{n}")
+            for a in ("attn1", "attn2"):
+                self.dense(f"{mb}/{a}/to_q", f"{tb}.{a}.to_q", bias=False)
+                self.dense(f"{mb}/{a}/to_k", f"{tb}.{a}.to_k", bias=False)
+                self.dense(f"{mb}/{a}/to_v", f"{tb}.{a}.to_v", bias=False)
+                self.dense(f"{mb}/{a}/to_out", f"{tb}.{a}.to_out.0")
+            self.dense(f"{mb}/ff/geglu/proj", f"{tb}.ff.net.0.proj")
+            self.dense(f"{mb}/ff/out", f"{tb}.ff.net.2")
+        self.conv(f"{my}/proj_out", f"{torch}.proj_out")
+
+
+def convert_unet(sd: StateDict, cfg, prefix: str = "") -> Dict:
+    """Reference UNetModel state dict → flax params for models.unet.UNetModel."""
+    m = _Mapper(sd, prefix)
+    m.dense("time_embed/dense0", "time_embed.0")
+    m.dense("time_embed/dense1", "time_embed.2")
+    m.conv("in_conv", "input_blocks.0.0")
+
+    n = 1
+    ds = 1
+    ch = cfg.model_channels
+    for level, mult in enumerate(cfg.channel_mult):
+        out_ch = mult * cfg.model_channels
+        for i in range(cfg.num_res_blocks):
+            my = f"down_{level}_{i}_res"
+            m.resblock(my, f"input_blocks.{n}.0", has_skip=ch != out_ch)
+            ch = out_ch
+            if ds in cfg.attention_resolutions:
+                m.spatial_transformer(
+                    f"down_{level}_{i}_attn", f"input_blocks.{n}.1",
+                    cfg.transformer_depth,
+                )
+            n += 1
+        if level != len(cfg.channel_mult) - 1:
+            m.conv(f"down_{level}_ds/conv", f"input_blocks.{n}.0.op")
+            n += 1
+            ds *= 2
+
+    m.resblock("mid_res1", "middle_block.0", has_skip=False)
+    m.spatial_transformer("mid_attn", "middle_block.1", cfg.transformer_depth)
+    m.resblock("mid_res2", "middle_block.2", has_skip=False)
+
+    # skip-connection channel bookkeeping for the up path
+    input_chs = [cfg.model_channels]
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            input_chs.append(mult * cfg.model_channels)
+        if level != len(cfg.channel_mult) - 1:
+            input_chs.append(mult * cfg.model_channels)
+
+    mo = 0
+    ch = cfg.channel_mult[-1] * cfg.model_channels
+    for level, mult in reversed(list(enumerate(cfg.channel_mult))):
+        out_ch = mult * cfg.model_channels
+        for i in range(cfg.num_res_blocks + 1):
+            skip_ch = input_chs.pop()
+            my = f"up_{level}_{i}_res"
+            m.resblock(my, f"output_blocks.{mo}.0", has_skip=(ch + skip_ch) != out_ch)
+            ch = out_ch
+            k = 1
+            if ds in cfg.attention_resolutions:
+                m.spatial_transformer(
+                    f"up_{level}_{i}_attn", f"output_blocks.{mo}.1",
+                    cfg.transformer_depth,
+                )
+                k = 2
+            if i == cfg.num_res_blocks and level != 0:
+                m.conv(f"up_{level}_us/conv", f"output_blocks.{mo}.{k}.conv")
+                ds //= 2
+            mo += 1
+
+    m.gn("out_norm", "out.0")
+    m.conv("out_conv", "out.2")
+    return {"params": m.tree}
+
+
+def convert_classifier_backbone(sd: StateDict, cfg, prefix: str = "") -> Dict:
+    """Classifier_Backbone state dict → flax params (encoder half + head)."""
+    m = _Mapper(sd, prefix)
+    m.dense("time_embed/dense0", "time_embed.0")
+    m.dense("time_embed/dense1", "time_embed.2")
+    m.conv("in_conv", "input_blocks.0.0")
+    n = 1
+    ds = 1
+    ch = cfg.model_channels
+    for level, mult in enumerate(cfg.channel_mult):
+        out_ch = mult * cfg.model_channels
+        for i in range(cfg.num_res_blocks):
+            m.resblock(
+                f"down_{level}_{i}_res", f"input_blocks.{n}.0", has_skip=ch != out_ch
+            )
+            ch = out_ch
+            if ds in cfg.attention_resolutions:
+                m.spatial_transformer(
+                    f"down_{level}_{i}_attn", f"input_blocks.{n}.1",
+                    cfg.transformer_depth,
+                )
+            n += 1
+        if level != len(cfg.channel_mult) - 1:
+            m.conv(f"down_{level}_ds/conv", f"input_blocks.{n}.0.op")
+            n += 1
+            ds *= 2
+    m.resblock("mid_res1", "middle_block.0", has_skip=False)
+    m.spatial_transformer("mid_attn", "middle_block.1", cfg.transformer_depth)
+    m.resblock("mid_res2", "middle_block.2", has_skip=False)
+    m.gn("out_norm", "out.0")
+    m.conv("out_conv", "out.2")
+    m.dense("classifier", "classifier")
+    return {"params": m.tree}
+
+
+def _convert_vae_half(m: _Mapper, side: str, cfg) -> None:
+    t = side  # "encoder" | "decoder"
+    m.conv(f"{t}/conv_in", f"{t}.conv_in")
+    levels = list(enumerate(cfg.ch_mult))
+    if side == "encoder":
+        ch = cfg.ch
+        for level, mult in levels:
+            out_ch = cfg.ch * mult
+            for i in range(cfg.num_res_blocks):
+                my = f"{t}/down_{level}_block{i}"
+                tk = f"{t}.down.{level}.block.{i}"
+                _vae_resblock(m, my, tk, ch != out_ch)
+                ch = out_ch
+            if level != len(levels) - 1:
+                m.conv(f"{t}/down_{level}_ds/conv", f"{t}.down.{level}.downsample.conv")
+    else:
+        ch = cfg.ch * cfg.ch_mult[-1]
+        for level, mult in reversed(levels):
+            out_ch = cfg.ch * mult
+            for i in range(cfg.num_res_blocks + 1):
+                my = f"{t}/up_{level}_block{i}"
+                tk = f"{t}.up.{level}.block.{i}"
+                _vae_resblock(m, my, tk, ch != out_ch)
+                ch = out_ch
+            if level != 0:
+                m.conv(f"{t}/up_{level}_us/conv", f"{t}.up.{level}.upsample.conv")
+    mid_ch = cfg.ch * cfg.ch_mult[-1]
+    _vae_resblock(m, f"{t}/mid_block1", f"{t}.mid.block_1", False)
+    m.gn_flat(f"{t}/mid_attn/norm", f"{t}.mid.attn_1.norm")
+    for p in ("q", "k", "v", "proj_out"):
+        m.conv(f"{t}/mid_attn/{p}", f"{t}.mid.attn_1.{p}")
+    _vae_resblock(m, f"{t}/mid_block2", f"{t}.mid.block_2", False)
+    m.gn_flat(f"{t}/norm_out", f"{t}.norm_out")
+    m.conv(f"{t}/conv_out", f"{t}.conv_out")
+
+
+def _vae_resblock(m: _Mapper, my: str, torch: str, has_skip: bool) -> None:
+    m.gn_flat(f"{my}/norm1", f"{torch}.norm1")
+    m.conv(f"{my}/conv1", f"{torch}.conv1")
+    m.gn_flat(f"{my}/norm2", f"{torch}.norm2")
+    m.conv(f"{my}/conv2", f"{torch}.conv2")
+    if has_skip:
+        m.conv(f"{my}/nin_shortcut", f"{torch}.nin_shortcut")
+
+
+def convert_vae(sd: StateDict, cfg, prefix: str = "") -> Dict:
+    """AutoencoderKL state dict → flax params for models.vae.AutoencoderKL."""
+    m = _Mapper(sd, prefix)
+    _convert_vae_half(m, "encoder", cfg)
+    _convert_vae_half(m, "decoder", cfg)
+    m.conv("quant_conv", "quant_conv")
+    m.conv("post_quant_conv", "post_quant_conv")
+    return {"params": m.tree}
+
+
+def convert_cond_encoder(sd: StateDict, prefix: str = "") -> Dict:
+    """Video_Feat_Encoder_Posembed state dict → flax params."""
+    m = _Mapper(sd, prefix)
+    m.dense("embedder", "embedder.0")
+    m.take("pos_emb", "pos_emb.weight", _id)
+    return {"params": m.tree}
+
+
+def split_ldm_state_dict(sd: StateDict) -> Tuple[Dict, Dict, Dict]:
+    """Split a composite LatentDiffusion checkpoint into its three sub-dicts."""
+    unet, vae, cond = {}, {}, {}
+    for k, v in sd.items():
+        if k.startswith("model.diffusion_model."):
+            unet[k[len("model.diffusion_model.") :]] = v
+        elif k.startswith("first_stage_model."):
+            vae[k[len("first_stage_model.") :]] = v
+        elif k.startswith("cond_stage_model."):
+            cond[k[len("cond_stage_model.") :]] = v
+    return unet, vae, cond
+
+
+def load_torch_state_dict(path: str) -> Dict:
+    """Load a torch checkpoint on CPU; unwrap Lightning/DDP wrappers.
+
+    Mirrors the reference's resume logic (`main_wds_intra_contrast.py:303-322`):
+    accept {'state_dict': ...} payloads and strip a leading 'module.'.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    return {k[len("module.") :] if k.startswith("module.") else k: v for k, v in sd.items()}
