@@ -1,0 +1,115 @@
+"""End-to-end video→audio generation pipeline.
+
+Mirrors the reference inference notebook (inference/diff_foley_inference.ipynb
+cells 8-15, SURVEY.md §3.1) but fuses everything after feature extraction into
+batched on-device programs: all 8.192-s windows × samples are sampled in ONE
+scanned DPM-Solver run, decoded in one VAE batch, and inverted in one batched
+Griffin-Lim call — no per-window python loop, no host round-trips.
+
+Operating point (notebook cell 13): 25 DPM-Solver++ steps, CFG 4.5,
+classifier-guidance 50, 4 samples/window, 32 CAVP features (4 FPS) per window,
+window = 131072 samples @16 kHz = 512 mel frames.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio.transforms import DEFAULT_MELSPEC, MelSpec, mel_to_wav
+from .diffusion.latent_diffusion import LatentDiffusion, LDMConfig
+
+WINDOW_FEATS = 32          # CAVP features per window (notebook truncate_len)
+WINDOW_SAMPLES = 131072    # 8.192 s at 16 kHz
+LATENT_HW = (16, 64)       # 128×512 mel /8
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    sampler: str = "dpm"
+    steps: int = 25
+    cfg_scale: float = 4.5
+    classifier_scale: float = 50.0
+    sample_num: int = 4
+    gl_iters: int = 32
+
+
+def window_features(feats: np.ndarray, window: int = WINDOW_FEATS) -> np.ndarray:
+    """(T, 512) feature stream → (num_windows, window, 512), truncating the
+    ragged tail like the notebook's `range(len // truncate_len)` loop."""
+    n = feats.shape[0] // window
+    assert n >= 1, f"need ≥{window} features, got {feats.shape[0]}"
+    return feats[: n * window].reshape(n, window, feats.shape[-1])
+
+
+class DiffFoleyPipeline:
+    """Bundles the LDM + (optional) alignment classifier for inference."""
+
+    def __init__(
+        self,
+        ldm: Optional[LatentDiffusion] = None,
+        params=None,
+        vae_params=None,
+        classifier=None,  # (apply_fn, params, cond_params, cond_encoder)
+        melspec: MelSpec = DEFAULT_MELSPEC,
+    ):
+        self.ldm = ldm or LatentDiffusion(LDMConfig())
+        self.params = params
+        self.vae_params = vae_params
+        self.classifier = classifier
+        self.melspec = melspec
+
+    # one compiled program: windows×samples latents → specs
+    @partial(jax.jit, static_argnames=("self", "gen"))
+    def _sample_and_decode(self, params, vae_params, feats_w, key, gen):
+        w, f, d = feats_w.shape
+        s = gen.sample_num
+        cond = jnp.repeat(feats_w, s, axis=0)  # (w*s, f, d)
+        z = self.ldm.sample(
+            params, cond, key,
+            latent_hw=LATENT_HW,
+            sampler=gen.sampler,
+            steps=gen.steps,
+            cfg_scale=gen.cfg_scale,
+            classifier=self.classifier if gen.classifier_scale > 0 else None,
+            classifier_scale=gen.classifier_scale,
+        )
+        spec_img = self.ldm.decode_first_stage(vae_params, z)  # (w*s,128,512,3)
+        return jnp.clip(spec_img[..., 0], 0.0, 1.0)
+
+    @partial(jax.jit, static_argnames=("self", "gen"))
+    def _invert(self, specs, key, gen):
+        return mel_to_wav(
+            specs, key, self.melspec, n_iter=gen.gl_iters, length=WINDOW_SAMPLES
+        )
+
+    def generate(
+        self,
+        cavp_feats: np.ndarray,
+        key: jax.Array,
+        gen: GenerationConfig = GenerationConfig(),
+    ):
+        """(T, 512) CAVP features → dict with specs and waveforms.
+
+        Returns specs (S, num_windows*512 frames concat) and wav
+        (S, num_windows*131072) for S = sample_num, mirroring notebook
+        cells 13-14 (per-window generation then concatenation).
+        """
+        feats_w = jnp.asarray(window_features(np.asarray(cavp_feats)))
+        w = feats_w.shape[0]
+        k_s, k_g = jax.random.split(key)
+        specs = self._sample_and_decode(
+            self.params, self.vae_params, feats_w, k_s, gen
+        )  # (w*s, 128, 512)
+        wavs = self._invert(specs, k_g, gen)  # (w*s, WINDOW_SAMPLES)
+
+        s = gen.sample_num
+        # (w*s, 128, T) → per-sample time-concatenated windows
+        specs = specs.reshape(w, s, *specs.shape[1:]).transpose(1, 0, 2, 3)
+        specs = jnp.concatenate([specs[:, i] for i in range(w)], axis=-1)
+        wavs = wavs.reshape(w, s, -1).transpose(1, 0, 2).reshape(s, -1)
+        return {"spec": np.asarray(specs), "wav": np.asarray(wavs)}

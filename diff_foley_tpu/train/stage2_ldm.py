@@ -1,0 +1,102 @@
+"""Stage-2 LDM trainer: data-parallel AdamW training of UNet + cond encoder.
+
+Behavioural spec: reference `training/stage2_ldm/main.py` + ddpm training path
+(SURVEY.md §3.2): frozen VAE encode (posterior sample ×0.18215), CFG dropout,
+ε-L2 loss, AdamW over UNet+cond params (ddpm.py:1512-1533), LambdaLinear
+warmup (diff_foley_train.yaml:21-28), optional EMA.
+
+TPU-native shape: one jit'd train step over a `data`-axis mesh; gradients are
+averaged by XLA-inserted psums (replacing Lightning DDP/NCCL allreduce).
+Inputs arrive as already-sharded global arrays (parallel.shard_batch).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..diffusion.latent_diffusion import LatentDiffusion, LDMConfig
+from ..utils.ema import EmaState, ema_init, ema_update
+from ..utils.lr_schedules import lambda_linear
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema: Optional[EmaState]
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage2TrainConfig:
+    base_lr: float = 1e-4           # launch.sh --scale_lr False
+    warmup_steps: int = 1000
+    use_ema: bool = False           # Stage2_LDM.yaml:18
+    ema_decay: float = 0.9999
+    grad_clip: Optional[float] = None
+    weight_decay: float = 0.01      # torch AdamW default
+
+
+def make_optimizer(cfg: Stage2TrainConfig) -> optax.GradientTransformation:
+    sched = lambda_linear(cfg.base_lr, cfg.warmup_steps)
+    tx = optax.adamw(
+        learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
+        weight_decay=cfg.weight_decay,
+    )
+    if cfg.grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
+def init_train_state(
+    ldm: LatentDiffusion, key: jax.Array, cfg: Stage2TrainConfig
+) -> TrainState:
+    params = ldm.init_params(key)
+    tx = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema=ema_init(params) if cfg.use_ema else None,
+    )
+
+
+def make_train_step(
+    ldm: LatentDiffusion, cfg: Stage2TrainConfig, tx: Optional[optax.GradientTransformation] = None
+):
+    """Returns step(state, vae_params, batch, rng) → (state, metrics).
+
+    batch: {"spec": (B,128,512,3) mel-image NHWC in [0,1],
+            "video_feat": (B,40,512)}  (adm/data/video_spec_dataset.py keys
+            'mix_spec'/'mix_video_feat', channel-tiled ×3).
+    """
+    tx = tx or make_optimizer(cfg)
+
+    def loss_fn(params, vae_params, batch, rng):
+        k_enc, k_loss = jax.random.split(rng)
+        z = ldm.encode_first_stage(vae_params, batch["spec"], key=k_enc)
+        z = jax.lax.stop_gradient(z)  # frozen first stage (ddpm.py:679)
+        loss, metrics = ldm.p_losses(params, z, batch["video_feat"], k_loss)
+        return loss, metrics
+
+    def step(state: TrainState, vae_params, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, vae_params, batch, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = (
+            ema_update(state.ema, params, cfg.ema_decay)
+            if state.ema is not None
+            else None
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(state.step + 1, params, opt_state, ema), metrics
+
+    return step

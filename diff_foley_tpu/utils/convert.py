@@ -272,6 +272,101 @@ def convert_cond_encoder(sd: StateDict, prefix: str = "") -> Dict:
     return {"params": m.tree}
 
 
+def _conv3d(t) -> np.ndarray:
+    # torch Conv3d (O, I, kT, kH, kW) → flax (kT, kH, kW, I, O)
+    return _np(t).transpose(2, 3, 4, 1, 0)
+
+
+class _BNMapper(_Mapper):
+    """Mapper that also collects BatchNorm running stats (batch_stats)."""
+
+    def __init__(self, sd: StateDict, prefix: str = ""):
+        super().__init__(sd, prefix)
+        self.stats: Dict = {}
+
+    def bn(self, my: str, torch: str) -> None:
+        self.take(f"{my}/scale", f"{torch}.weight", _id)
+        self.take(f"{my}/bias", f"{torch}.bias", _id)
+        for src, dst in (("running_mean", "mean"), ("running_var", "var")):
+            key = f"{self.prefix}{torch}.{src}"
+            _set(self.stats, f"{my}/{dst}", _id(self.sd[key]))
+            self.used.add(key)
+
+    def conv3d(self, my: str, torch: str) -> None:
+        self.take(f"{my}/kernel", f"{torch}.weight", _conv3d)
+
+    def conv2d_nobias(self, my: str, torch: str) -> None:
+        self.take(f"{my}/kernel", f"{torch}.weight", _conv)
+
+    def result(self) -> Dict:
+        return {"params": self.tree, "batch_stats": self.stats}
+
+
+def convert_cnn14(sd: StateDict, prefix: str = "") -> Dict:
+    """PANN Cnn14 state dict → flax params+batch_stats for cavp.Cnn14.
+
+    Key layout: `open_clip/cnn10.py:297-330` (bn, conv_block{1..6}.{conv1,
+    bn1,conv2,bn2}, fc1, final_project).
+    """
+    m = _BNMapper(sd, prefix)
+    m.bn("bn0", "bn")
+    for i in range(1, 7):
+        for j in (1, 2):
+            m.conv2d_nobias(f"conv_block{i}/conv{j}", f"conv_block{i}.conv{j}")
+            m.bn(f"conv_block{i}/bn{j}", f"conv_block{i}.bn{j}")
+    m.dense("fc1", "fc1")
+    m.dense("final_project", "final_project")
+    return m.result()
+
+
+def convert_slowonly(sd: StateDict, prefix: str = "",
+                     stage_blocks=(3, 4, 6, 3)) -> Dict:
+    """mmaction ResNet3dSlowOnly state dict → flax params+batch_stats.
+
+    Key layout: `audio_contrastive.py:345-1277` (conv1.conv/bn,
+    layer{s}.{b}.conv{1,2,3}.conv/bn, layer{s}.{b}.downsample.conv/bn).
+    """
+    m = _BNMapper(sd, prefix)
+
+    def convmod(my: str, torch: str) -> None:
+        m.conv3d(f"{my}/conv", f"{torch}.conv")
+        m.bn(f"{my}/bn", f"{torch}.bn")
+
+    convmod("conv1", "conv1")
+    for s, blocks in enumerate(stage_blocks, start=1):
+        for b in range(blocks):
+            my = f"layer{s}_{b}"
+            tk = f"layer{s}.{b}"
+            for c in ("conv1", "conv2", "conv3"):
+                convmod(f"{my}/{c}", f"{tk}.{c}")
+            if b == 0:
+                convmod(f"{my}/downsample", f"{tk}.downsample")
+    return m.result()
+
+
+def convert_cavp(sd: StateDict, prefix: str = "") -> Dict:
+    """Full CLIP_Video_Spec / CAVP_Inference state dict → CAVPModel variables.
+
+    Key layout: `open_clip/model.py:457-671` (video_encoder.*,
+    video_project_head.*, spec_encoder.*, logit_scale).
+    """
+    video = convert_slowonly(sd, prefix + "video_encoder.")
+    spec = convert_cnn14(sd, prefix + "spec_encoder.")
+    head_m = _Mapper(sd, prefix)
+    head_m.dense("video_project_head", "video_project_head")
+    params = {
+        "video_encoder": video["params"],
+        "spec_encoder": spec["params"],
+        **head_m.tree,
+        "logit_scale": _id(sd[prefix + "logit_scale"]).reshape(()),
+    }
+    stats = {
+        "video_encoder": video["batch_stats"],
+        "spec_encoder": spec["batch_stats"],
+    }
+    return {"params": params, "batch_stats": stats}
+
+
 def split_ldm_state_dict(sd: StateDict) -> Tuple[Dict, Dict, Dict]:
     """Split a composite LatentDiffusion checkpoint into its three sub-dicts."""
     unet, vae, cond = {}, {}, {}

@@ -1,0 +1,150 @@
+"""Sampler correctness: analytic convergence, cross-sampler ODE consistency,
+and exact parity vs the reference torch DPM-Solver on a synthetic model."""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diff_foley_tpu.diffusion.guidance import GuidanceSpec, make_guided_eps_fn
+from diff_foley_tpu.diffusion.samplers import (
+    ddim_sample,
+    dpm_solver_sample,
+    plms_sample,
+)
+from diff_foley_tpu.diffusion.schedule import DiffusionSchedule
+
+SCHED = DiffusionSchedule.create(
+    timesteps=1000, linear_start=0.00085, linear_end=0.0120
+)
+
+
+def _point_mass_eps(c):
+    """Optimal ε-model when the data distribution is a point mass at c."""
+    ac = SCHED.alphas_cumprod
+
+    def eps_fn(x, t_model, s_t):
+        t_idx = jnp.clip(t_model.astype(jnp.int32), 0, 999)
+        a = ac[t_idx].reshape(-1, *([1] * (x.ndim - 1)))
+        return (x - jnp.sqrt(a) * c) / jnp.sqrt(1.0 - a)
+
+    return eps_fn
+
+
+@pytest.mark.parametrize(
+    "sampler,steps,tol",
+    # the samplers terminate at t≈0 with √(1−ᾱ₀)≈0.029 residual noise, so a
+    # 4σ bound on |x−c| is ~0.12
+    [(ddim_sample, 25, 0.15), (dpm_solver_sample, 25, 0.15), (plms_sample, 25, 0.15)],
+)
+def test_point_mass_convergence(sampler, steps, tol):
+    c = 0.7
+    eps_fn = _point_mass_eps(c)
+    x_T = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 2))
+    if sampler is ddim_sample:
+        x = sampler(eps_fn, SCHED, x_T, jax.random.PRNGKey(1), steps=steps)
+    else:
+        x = sampler(eps_fn, SCHED, x_T, steps=steps)
+    err = float(jnp.abs(x - c).max())
+    assert err < tol, f"{sampler.__name__}: {err}"
+
+
+def test_cross_sampler_ode_consistency():
+    """All three samplers integrate the same probability-flow ODE."""
+    W = jax.random.normal(jax.random.PRNGKey(3), (16, 16)) * 0.2
+
+    def eps_fn(x, t_model, s_t):
+        tt = (t_model / 1000.0).reshape(-1, *([1] * (x.ndim - 1)))
+        flat = x.reshape(x.shape[0], -1)
+        lin = (flat @ W).reshape(x.shape)
+        return 0.8 * x + 0.3 * jnp.tanh(lin) * (1.0 + tt)
+
+    x_T = jax.random.normal(jax.random.PRNGKey(4), (2, 4, 4, 1))
+    ref = ddim_sample(eps_fn, SCHED, x_T, jax.random.PRNGKey(0), steps=400)
+    dpm = dpm_solver_sample(eps_fn, SCHED, x_T, steps=25)
+    plms = plms_sample(eps_fn, SCHED, x_T, steps=50)
+    rn = float(jnp.linalg.norm(ref))
+    assert float(jnp.linalg.norm(dpm - ref)) / rn < 0.08
+    assert float(jnp.linalg.norm(plms - ref)) / rn < 0.08
+
+
+def test_dpm_solver_parity_vs_reference_torch():
+    """Bit-level trajectory parity vs the reference dpm_solver.py."""
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    from diff_foley.models.diffusion.dpm_solver.dpm_solver import (
+        DPM_Solver,
+        NoiseScheduleVP,
+        model_wrapper,
+    )
+
+    ac_np = np.asarray(SCHED.alphas_cumprod, dtype=np.float32)
+    W_np = (np.random.default_rng(7).normal(size=(64, 64)) * 0.1).astype(np.float32)
+
+    # torch side
+    ns = NoiseScheduleVP("discrete", alphas_cumprod=torch.from_numpy(ac_np))
+    Wt = torch.from_numpy(W_np)
+
+    def torch_model(x, t):  # t is model-input time (continuous*1000)
+        flat = x.reshape(x.shape[0], -1)
+        lin = (flat @ Wt).reshape(x.shape)
+        return 0.5 * x + 0.1 * torch.tanh(lin) + 0.001 * t.reshape(-1, 1, 1, 1)
+
+    wrapped = model_wrapper(torch_model, ns, model_type="noise", guidance_type="uncond")
+    solver = DPM_Solver(wrapped, ns, predict_x0=True, thresholding=False)
+    x_T_np = np.random.default_rng(8).normal(size=(2, 1, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref = solver.sample(
+            torch.from_numpy(x_T_np), steps=25, skip_type="time_uniform",
+            method="multistep", order=2, lower_order_final=True,
+        ).numpy()
+
+    # jax side (same math, NHWC)
+    Wj = jnp.asarray(W_np)
+
+    def eps_fn(x, t_model, s_t):
+        flat = x.reshape(x.shape[0], -1)
+        lin = (flat @ Wj).reshape(x.shape)
+        return 0.5 * x + 0.1 * jnp.tanh(lin) + 0.001 * t_model.reshape(-1, 1, 1, 1)
+
+    x_T = jnp.asarray(x_T_np.transpose(0, 2, 3, 1))
+    out = dpm_solver_sample(eps_fn, SCHED, x_T, steps=25)
+    out_nchw = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out_nchw, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_cfg_guidance_combine():
+    calls = {}
+
+    def model_fn(x, t, c):
+        calls["batch"] = x.shape[0]
+        flag = (c[:, 0, 0] > 0).reshape(-1, 1, 1, 1)
+        return jnp.where(flag, 2.0, 1.0) * jnp.ones_like(x)
+
+    cond = jnp.ones((2, 4, 8))
+    uncond = -jnp.ones((2, 4, 8))
+    eps_fn = make_guided_eps_fn(model_fn, cond, uncond, GuidanceSpec(cfg_scale=4.5))
+    eps = eps_fn(jnp.zeros((2, 4, 4, 1)), jnp.zeros((2,)), 1.0)
+    # e_u=1, e_c=2 -> 1 + 4.5*(2-1) = 5.5, single 2x-batch call
+    np.testing.assert_allclose(np.asarray(eps), 5.5, rtol=1e-6)
+    assert calls["batch"] == 4
+
+
+def test_classifier_guidance_grad():
+    def model_fn(x, t, c):
+        return jnp.zeros_like(x)
+
+    def classifier_fn(x, t, feat):
+        # log p = -||x||^2  -> grad = -2x
+        return jnp.exp(-jnp.sum(x**2, axis=(1, 2, 3), keepdims=False))[:, None]
+
+    cond = jnp.ones((2, 4, 8))
+    eps_fn = make_guided_eps_fn(
+        model_fn, cond, None, GuidanceSpec(cfg_scale=1.0, classifier_scale=50.0),
+        classifier_fn=classifier_fn, classifier_cond=jnp.ones((2, 4, 8)),
+    )
+    x = jnp.ones((2, 2, 2, 1)) * 0.1
+    eps = eps_fn(x, jnp.zeros((2,)), 0.5)
+    # eps = 0 - s_t*scale*(-2x) = 0.5*50*0.2 = 5.0
+    np.testing.assert_allclose(np.asarray(eps), 5.0, rtol=1e-5)

@@ -1,0 +1,116 @@
+"""Stage-1 CAVP: contrastive losses, trainer step, retrieval metrics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diff_foley_tpu.models.cavp.cavp import CAVPConfig, CAVPModel
+from diff_foley_tpu.train.losses import (
+    clip_loss,
+    intra_contrast_loss,
+    retrieval_metrics,
+    temporal_semantic_loss,
+)
+from diff_foley_tpu.train.stage1_cavp import (
+    Stage1TrainConfig,
+    init_train_state,
+    make_train_step,
+    LOG_100,
+)
+
+
+def _feats(key, n, d=16):
+    x = jax.random.normal(key, (n, d))
+    return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def test_clip_loss_perfect_alignment_low():
+    v = _feats(jax.random.PRNGKey(0), 12)
+    loss_aligned = float(clip_loss(v, v, jnp.asarray(100.0)))
+    s = _feats(jax.random.PRNGKey(1), 12)
+    loss_random = float(clip_loss(v, s, jnp.asarray(100.0)))
+    assert loss_aligned < 0.01
+    assert loss_random > 1.0
+
+
+def test_intra_contrast_matches_torch_reference_math():
+    """Cross-check the block-diagonal slicing against a torch replica."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    bs, clip_num = 12, 3
+    v = rng.normal(size=(bs, 8)).astype(np.float32)
+    s = rng.normal(size=(bs, 8)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    s /= np.linalg.norm(s, axis=1, keepdims=True)
+    scale = 30.0
+
+    out = intra_contrast_loss(
+        jnp.asarray(v), jnp.asarray(s), jnp.asarray(scale), clip_num=clip_num
+    )
+
+    tv, tsp = torch.from_numpy(v), torch.from_numpy(s)
+    lv = scale * tv @ tsp.T
+    ls = lv.T
+    labels = torch.arange(bs)
+    extra = (F.cross_entropy(lv, labels) + F.cross_entropy(ls, labels)) / 2
+    nb = bs // clip_num
+    sel = (range(nb), np.s_[:], range(nb), np.s_[:])
+    bv = lv.reshape(nb, clip_num, nb, clip_num)[sel].reshape(-1, clip_num)
+    bsp = ls.reshape(nb, clip_num, nb, clip_num)[sel].reshape(-1, clip_num)
+    li = torch.arange(clip_num).unsqueeze(0).repeat(nb, 1).reshape(-1)
+    intra = (F.cross_entropy(bv, li) + F.cross_entropy(bsp, li)) / 2
+
+    np.testing.assert_allclose(
+        float(out["extra_contrast_loss"]), float(extra), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(out["intra_contrast_loss"]), float(intra), rtol=1e-5
+    )
+
+
+def test_temporal_semantic_loss_shapes():
+    key = jax.random.PRNGKey(0)
+    v = _feats(key, 4)
+    s = _feats(jax.random.PRNGKey(1), 4)
+    vt = jax.random.normal(jax.random.PRNGKey(2), (4, 8, 16))
+    st = jax.random.normal(jax.random.PRNGKey(3), (4, 8, 16))
+    out = temporal_semantic_loss(v, s, vt, st, jnp.asarray(10.0))
+    assert np.isfinite(float(out["total_loss"]))
+
+
+def test_retrieval_metrics_perfect():
+    v = _feats(jax.random.PRNGKey(0), 20)
+    m = retrieval_metrics(v, v)
+    assert float(m["video_to_spec_R@1"]) == 1.0
+    assert float(m["video_to_spec_mean_rank"]) == 1.0
+
+
+@pytest.mark.slow
+def test_cavp_train_step_runs_and_improves():
+    model = CAVPModel(CAVPConfig(embed_dim=32))
+    cfg = Stage1TrainConfig(lr=1e-3, warmup_steps=1, total_steps=100, clip_num=2)
+    # real clip geometry: 16 frames (4 s @ 4 FPS), 256 spec frames — the
+    # MaxPool1d(16) heads need exactly these (model.py:496-501)
+    state = init_train_state(
+        model, jax.random.PRNGKey(0), cfg,
+        video_shape=(1, 16, 16, 16, 3), spec_shape=(1, 128, 256),
+    )
+    step = jax.jit(make_train_step(model, cfg))
+    # batch: 2 videos × 2 clips
+    rng = np.random.default_rng(0)
+    batch = {
+        "video": jnp.asarray(rng.normal(size=(2, 2, 16, 16, 16, 3)), jnp.float32),
+        "spec": jnp.asarray(rng.normal(size=(2, 2, 128, 256)), jnp.float32),
+    }
+    losses = []
+    for i in range(2):
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(m["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert float(m["grad_norm"]) > 0
+    assert float(state.params["logit_scale"]) <= LOG_100 + 1e-6
+    # batch_stats must have been updated
+    flat = jax.tree.leaves(state.batch_stats)
+    assert any(float(jnp.abs(x).max()) > 0 for x in flat)
