@@ -1,0 +1,125 @@
+"""Host-side batch loader: per-host index sharding + threaded prefetch.
+
+Replaces the reference's torch DataLoader workers + DistributedSampler
+(SURVEY.md §2.8): each JAX process loads only its shard of the global batch
+(`shard_indices`), worker threads overlap IO/augmentation with device
+compute, and batches come out as stacked numpy arrays ready for
+`parallel.shard_batch`.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+def shard_indices(
+    n: int,
+    batch_size: int,
+    *,
+    process_index: int = 0,
+    process_count: int = 1,
+    seed: int = 0,
+    epoch: int = 0,
+    drop_last: bool = True,
+) -> np.ndarray:
+    """Deterministic per-epoch shuffle, split by host.
+
+    Mirrors webdataset `detshuffle2` keyed on (seed, epoch)
+    (data.py:244-275) + `split_by_node`, and the reference's equal-batch
+    rounding (data.py:1581-1592): every host sees the same number of
+    batches.
+    """
+    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+    order = rng.permutation(n)
+    per_host = n // process_count
+    mine = order[process_index * per_host : (process_index + 1) * per_host]
+    if drop_last:
+        mine = mine[: (len(mine) // batch_size) * batch_size]
+    return mine
+
+
+def _collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {
+        k: np.stack([s[k] for s in samples]) for k in samples[0]
+    }
+
+
+class PrefetchLoader:
+    """Threaded map-style loader: dataset[idx] in workers, collated batches
+    out of a bounded queue (the reference's num_workers equivalent)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        process_index: int = 0,
+        process_count: int = 1,
+        seed: int = 0,
+        collate: Callable = _collate,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+        self.seed = seed
+        self.collate = collate
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        idx = shard_indices(
+            len(self.dataset), self.batch_size,
+            process_index=self.process_index, process_count=self.process_count,
+            seed=self.seed, epoch=epoch,
+        )
+        batches = [
+            idx[i : i + self.batch_size]
+            for i in range(0, len(idx), self.batch_size)
+        ]
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        work_q: "queue.Queue" = queue.Queue()
+        for bi, b in enumerate(batches):
+            work_q.put((bi, b))
+        results: Dict[int, Dict] = {}
+        lock = threading.Lock()
+        next_emit = [0]
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    bi, b = work_q.get_nowait()
+                except queue.Empty:
+                    return
+                batch = self.collate([self.dataset[int(i)] for i in b])
+                with lock:
+                    results[bi] = batch
+                    while next_emit[0] in results:
+                        out_q.put(results.pop(next_emit[0]))
+                        next_emit[0] += 1
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+        try:
+            for _ in range(len(batches)):
+                yield out_q.get()
+        finally:
+            stop.set()
+
+    def __len__(self):
+        idx = shard_indices(
+            len(self.dataset), self.batch_size,
+            process_index=self.process_index, process_count=self.process_count,
+            seed=self.seed, epoch=0,
+        )
+        return len(idx) // self.batch_size

@@ -1,0 +1,128 @@
+"""Checkpoint save/resume (orbax) + reference-checkpoint loading.
+
+Replaces the reference's crash-resilience machinery (SURVEY.md §5):
+per-step orbax checkpoints with retention, `resume latest` directory scan
+(main_wds_intra_contrast.py:109-170), and atomic writes (orbax's tmp+rename
+mirrors the reference's tmp+os.replace at :416-421).
+
+`load_reference_ldm` converts a released torch LatentDiffusion checkpoint
+(ldm_epoch240.ckpt layout) into this framework's parameter trees.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+class CheckpointManager:
+    """Thin orbax CheckpointManager wrapper with resume-latest semantics."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        ocp = _ocp()
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state: Any) -> None:
+        ocp = _ocp()
+        self.mgr.save(step, args=ocp.args.StandardSave(state))
+        self.mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.mgr.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        ocp = _ocp()
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        return self.mgr.restore(
+            step, args=ocp.args.StandardRestore(state_template)
+        )
+
+
+def load_reference_ldm(
+    ckpt_path: str, ldm, load_vae: bool = True
+) -> Tuple[Dict, Optional[Dict]]:
+    """Released LatentDiffusion torch ckpt → ({unet, cond} params, vae params).
+
+    Splits on the model.diffusion_model./first_stage_model./cond_stage_model.
+    prefixes (ddpm.py:1545-1571) and converts each family.
+    """
+    from .convert import (
+        convert_cond_encoder,
+        convert_unet,
+        convert_vae,
+        load_torch_state_dict,
+        split_ldm_state_dict,
+    )
+    import jax.numpy as jnp
+
+    sd = load_torch_state_dict(ckpt_path)
+    unet_sd, vae_sd, cond_sd = split_ldm_state_dict(sd)
+    to_dev = lambda tree: jax.tree.map(jnp.asarray, tree)
+    params = {
+        "unet": to_dev(convert_unet(unet_sd, ldm.cfg.unet)),
+        "cond": to_dev(convert_cond_encoder(cond_sd)),
+    }
+    vae_params = to_dev(convert_vae(vae_sd, ldm.cfg.vae)) if load_vae and vae_sd else None
+    return params, vae_params
+
+
+def load_reference_cavp(ckpt_path: str) -> Dict:
+    """Released cavp_epoch66.ckpt → CAVPModel variables."""
+    from .convert import convert_cavp, load_torch_state_dict
+    import jax.numpy as jnp
+
+    sd = load_torch_state_dict(ckpt_path)
+    return jax.tree.map(jnp.asarray, convert_cavp(sd))
+
+
+def load_reference_classifier(ckpt_path: str) -> Dict:
+    """Released double_guidance_classifier.ckpt → trainer params.
+
+    Layout (alignment_classifier.py): 'model.' = backbone, 'cond_model.' =
+    Posembed encoder (the VAE lives under 'first_stage_model.').
+    """
+    from .convert import (
+        convert_classifier_backbone,
+        convert_cond_encoder,
+        convert_vae,
+        load_torch_state_dict,
+    )
+    import jax.numpy as jnp
+    from ..models.unet import CLASSIFIER_BACKBONE
+    from ..models.vae import SD_VAE
+
+    sd = load_torch_state_dict(ckpt_path)
+    backbone_sd = {k[len("model.") :]: v for k, v in sd.items() if k.startswith("model.")}
+    cond_sd = {
+        k[len("cond_model.") :]: v for k, v in sd.items()
+        if k.startswith("cond_model.")
+    }
+    vae_sd = {
+        k[len("first_stage_model.") :]: v
+        for k, v in sd.items()
+        if k.startswith("first_stage_model.")
+    }
+    out = {
+        "backbone": convert_classifier_backbone(backbone_sd, CLASSIFIER_BACKBONE),
+        "cond": convert_cond_encoder(cond_sd),
+    }
+    if vae_sd:
+        out["vae"] = convert_vae(vae_sd, SD_VAE)
+    return jax.tree.map(lambda x: jax.numpy.asarray(x), out)

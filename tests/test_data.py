@@ -1,0 +1,112 @@
+"""Data pipelines: stage-2 dataset semantics, loader sharding, CAVP shards."""
+import io
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from diff_foley_tpu.data.cavp_shards import (
+    CAVPShardConfig,
+    decode_sample,
+    iter_shards,
+    sample_temporal_index,
+)
+from diff_foley_tpu.data.ldm_dataset import LDMDataConfig, SpecFeatDataset
+from diff_foley_tpu.data.loader import PrefetchLoader, shard_indices
+
+
+@pytest.fixture()
+def dataset(tmp_path):
+    paths_s, paths_f = [], []
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        spec = rng.uniform(size=(128, 300 + 100 * i)).astype(np.float32)
+        feat = rng.normal(size=(20 + 5 * i, 512)).astype(np.float32)
+        sp = tmp_path / f"{i}_mel.npy"
+        fp = tmp_path / f"{i}.npz"
+        np.save(sp, spec)
+        np.savez(fp, feat=feat)
+        paths_s.append(str(sp))
+        paths_f.append(str(fp))
+    return SpecFeatDataset(paths_s, paths_f, LDMDataConfig(), seed=1)
+
+
+def test_ldm_dataset_shapes(dataset):
+    for i in range(len(dataset)):
+        d = dataset[i]
+        assert d["spec"].shape == (128, 512, 3)
+        assert d["video_feat"].shape == (32, 512)
+        # 3-channel tiling is an exact repeat
+        np.testing.assert_array_equal(d["spec"][..., 0], d["spec"][..., 1])
+
+
+def test_ldm_dataset_alignment_labels(tmp_path, dataset):
+    ds = SpecFeatDataset(
+        dataset.spec_paths, dataset.feat_paths, LDMDataConfig(),
+        alignment_labels=True, seed=2,
+    )
+    labels = [int(ds[i % len(ds)]["labels"]) for i in range(20)]
+    assert set(labels) == {0, 1}
+
+
+def test_shard_indices_disjoint_and_deterministic():
+    a0 = shard_indices(100, 8, process_index=0, process_count=4, seed=3, epoch=1)
+    a1 = shard_indices(100, 8, process_index=1, process_count=4, seed=3, epoch=1)
+    assert len(set(a0) & set(a1)) == 0
+    assert len(a0) == 24  # 25 per host, dropped to batch multiple
+    b0 = shard_indices(100, 8, process_index=0, process_count=4, seed=3, epoch=1)
+    np.testing.assert_array_equal(a0, b0)
+    c0 = shard_indices(100, 8, process_index=0, process_count=4, seed=3, epoch=2)
+    assert not np.array_equal(a0, c0)
+
+
+def test_prefetch_loader_order_and_shapes(dataset):
+    loader = PrefetchLoader(dataset, batch_size=2, num_workers=3)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3
+    for b in batches:
+        assert b["spec"].shape == (2, 128, 512, 3)
+        assert b["video_feat"].shape == (2, 32, 512)
+
+
+def test_sample_temporal_index_constraints():
+    cfg = CAVPShardConfig(clip_num=3, shift_lb=8)
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        starts = sample_temporal_index(rng, cfg)
+        assert len(starts) == 3
+        for a, b in zip(starts, starts[1:]):
+            assert b - a >= cfg.shift_lb
+        assert starts[-1] + 16 <= cfg.video_len
+
+
+def test_cavp_shard_roundtrip(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(0)
+    # build a tiny shard: 3 samples of 40-frame strips + (128, 640) specs
+    shard = tmp_path / "shard-000000.tar"
+    with tarfile.open(shard, "w") as tf:
+        for k in range(3):
+            spec = rng.uniform(size=(128, 640)).astype(np.float32)
+            buf = io.BytesIO()
+            np.save(buf, spec)
+            info = tarfile.TarInfo(f"sample{k}.spec.npy")
+            info.size = buf.getbuffer().nbytes
+            buf.seek(0)
+            tf.addfile(info, buf)
+
+            strip = (rng.uniform(size=(224, 224 * 40, 3)) * 255).astype(np.uint8)
+            ok, enc = cv2.imencode(".jpg", strip)
+            assert ok
+            jb = io.BytesIO(enc.tobytes())
+            info = tarfile.TarInfo(f"sample{k}.video.jpg")
+            info.size = len(enc)
+            tf.addfile(info, jb)
+
+    samples = list(iter_shards([str(shard)], seed=0, epoch=0))
+    assert len(samples) == 3
+    for s in samples:
+        assert s["video"].shape == (3, 16, 224, 224, 3)
+        assert s["spec"].shape == (3, 128, 256)
+        assert 0.0 <= s["video"].min() and s["video"].max() <= 1.0
