@@ -14,6 +14,7 @@ scalar forces real completion — all timings here do that.
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 
@@ -24,21 +25,29 @@ import numpy as np
 from diff_foley_tpu.diffusion.latent_diffusion import LatentDiffusion, LDMConfig
 from diff_foley_tpu.models.cond_encoder import VideoFeatEncoderPosembed
 from diff_foley_tpu.models.unet import CLASSIFIER_BACKBONE, ClassifierBackbone
+from diff_foley_tpu.ops.attention import set_attention_backend
 from diff_foley_tpu.pipeline import DiffFoleyPipeline, GenerationConfig, WINDOW_FEATS
+from diff_foley_tpu.utils.precision import cast_floating
 
 CLIPS = 16  # 8.192-s clips generated per timed run
 
 
 def build_pipeline(key):
-    ldm = LatentDiffusion(LDMConfig())
+    set_attention_backend("pallas")  # fused attention kernel
+    ldm = LatentDiffusion(
+        LDMConfig(unet=dataclasses.replace(LDMConfig().unet, dtype="bfloat16"))
+    )
     k1, k2, k3, k4 = jax.random.split(key, 4)
     params = ldm.init_params(k1)
+    params = {"unet": cast_floating(params["unet"]), "cond": params["cond"]}
     vae_params = ldm.init_vae_params(k2)
 
-    clf = ClassifierBackbone(CLASSIFIER_BACKBONE)
+    clf_cfg = dataclasses.replace(CLASSIFIER_BACKBONE, dtype="bfloat16")
+    clf = ClassifierBackbone(clf_cfg)
     clf_params = clf.init(
         k3, jnp.zeros((1, 16, 64, 4)), jnp.zeros((1,)), jnp.zeros((1, 40, 512))
     )
+    clf_params = cast_floating(clf_params)
     clf_cond = VideoFeatEncoderPosembed(embed_dim=512, seq_len=40)
     clf_cond_params = clf_cond.init(k4, jnp.zeros((1, 40, 512)))
 

@@ -1,0 +1,139 @@
+"""Video → foley audio generation CLI (the notebook pipeline as a command).
+
+Reference equivalent: inference/diff_foley_inference.ipynb cells 3-15.
+
+Usage:
+  python -m diff_foley_tpu.cli.generate --video path/to.mp4 --out out_dir \
+      [--cavp-ckpt cavp_epoch66.ckpt --ldm-ckpt ldm_epoch240.ckpt \
+       --classifier-ckpt double_guidance_classifier.ckpt] \
+      [--cfg-scale 4.5 --cg-scale 50 --steps 25 --sample-num 4]
+
+Without checkpoints (--random-weights) it runs the full pipeline with random
+parameters — useful only for smoke/perf runs.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--video", required=True)
+    p.add_argument("--out", default="./generated")
+    p.add_argument("--start-second", type=float, default=0.0)
+    p.add_argument("--truncate-second", type=float, default=8.2)
+    p.add_argument("--cavp-ckpt", default=None)
+    p.add_argument("--ldm-ckpt", default=None)
+    p.add_argument("--classifier-ckpt", default=None)
+    p.add_argument("--random-weights", action="store_true")
+    p.add_argument("--cfg-scale", type=float, default=4.5)
+    p.add_argument("--cg-scale", type=float, default=50.0)
+    p.add_argument("--steps", type=int, default=25)
+    p.add_argument("--sample-num", type=int, default=4)
+    p.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms"])
+    p.add_argument("--seed", type=int, default=21)  # notebook cell 9
+    p.add_argument("--bf16", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import dataclasses
+
+    from ..diffusion.latent_diffusion import LatentDiffusion, LDMConfig
+    from ..models.cavp import CAVPModel
+    from ..models.cond_encoder import VideoFeatEncoderPosembed
+    from ..models.unet import CLASSIFIER_BACKBONE, ClassifierBackbone
+    from ..pipeline import DiffFoleyPipeline, GenerationConfig
+    from ..utils.precision import cast_floating
+    from ..utils.wav import write_wav
+    from ..video.ingest import extract_cavp_features
+
+    if not (args.random_weights or (args.cavp_ckpt and args.ldm_ckpt)):
+        raise SystemExit(
+            "provide --cavp-ckpt/--ldm-ckpt or pass --random-weights"
+        )
+
+    key = jax.random.PRNGKey(args.seed)
+    cfg = LDMConfig()
+    if args.bf16:
+        cfg = dataclasses.replace(cfg, unet=dataclasses.replace(cfg.unet, dtype="bfloat16"))
+    ldm = LatentDiffusion(cfg)
+
+    # --- CAVP features
+    cavp = CAVPModel()
+    if args.cavp_ckpt:
+        from ..utils.checkpoint import load_reference_cavp
+
+        cavp_vars = load_reference_cavp(args.cavp_ckpt)
+    else:
+        cavp_vars = cavp.init(
+            key, jnp.zeros((1, 2, 224, 224, 3)), jnp.zeros((1, 128, 32)),
+            train=False,
+        )
+    encode = jax.jit(
+        lambda v, x: cavp.apply(
+            v, jnp.asarray(x),
+            method=lambda m, a: m.encode_video(a, normalize=True, pool=False),
+        )
+    )
+    feats = extract_cavp_features(
+        args.video, encode, cavp_vars,
+        start_second=args.start_second, truncate_second=args.truncate_second,
+    )
+    print(f"CAVP features: {feats.shape}")
+
+    # --- LDM + classifier params
+    if args.ldm_ckpt:
+        from ..utils.checkpoint import load_reference_ldm
+
+        params, vae_params = load_reference_ldm(args.ldm_ckpt, ldm)
+    else:
+        params = ldm.init_params(jax.random.PRNGKey(args.seed + 1))
+        vae_params = ldm.init_vae_params(jax.random.PRNGKey(args.seed + 2))
+    if args.bf16:
+        params = {"unet": cast_floating(params["unet"]), "cond": params["cond"]}
+
+    classifier = None
+    if args.cg_scale > 0:
+        clf = ClassifierBackbone(CLASSIFIER_BACKBONE)
+        clf_cond = VideoFeatEncoderPosembed(embed_dim=512, seq_len=40)
+        if args.classifier_ckpt:
+            from ..utils.checkpoint import load_reference_classifier
+
+            cp = load_reference_classifier(args.classifier_ckpt)
+            clf_params, clf_cond_params = cp["backbone"], cp["cond"]
+        else:
+            clf_params = clf.init(
+                jax.random.PRNGKey(3), jnp.zeros((1, 16, 64, 4)),
+                jnp.zeros((1,)), jnp.zeros((1, 40, 512)),
+            )
+            clf_cond_params = clf_cond.init(
+                jax.random.PRNGKey(4), jnp.zeros((1, 40, 512))
+            )
+        classifier = (clf.apply, clf_params, clf_cond_params, clf_cond)
+
+    pipe = DiffFoleyPipeline(ldm, params, vae_params, classifier=classifier)
+    gen = GenerationConfig(
+        sampler=args.sampler, steps=args.steps, cfg_scale=args.cfg_scale,
+        classifier_scale=args.cg_scale, sample_num=args.sample_num,
+    )
+    out = pipe.generate(feats, jax.random.PRNGKey(args.seed + 5), gen)
+
+    os.makedirs(args.out, exist_ok=True)
+    base = os.path.splitext(os.path.basename(args.video))[0]
+    for i in range(out["wav"].shape[0]):
+        path = os.path.join(args.out, f"{base}_sample{i}.wav")
+        write_wav(path, out["wav"][i], sr=16000)
+        np.save(os.path.join(args.out, f"{base}_sample{i}_spec.npy"),
+                out["spec"][i])
+        print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Stage-1 CAVP contrastive training driver.
+
+Reference equivalent: `torchrun -m training.main_wds_intra_contrast ...`
+(open_cavp_main/launch_script.sh). TPU-native: one process drives the
+`data`-axis mesh; the contrastive all-gather is implicit in the global
+logits matmul under GSPMD.
+
+Usage:
+  python -m diff_foley_tpu.cli.train_cavp \
+      --train-shards '/data/shards/vggsound-{000000..000031}.tar' \
+      --batch-size 30 --clip-num 3 --lr 8e-4 --warmup 200 \
+      --logdir ./logs/cavp
+"""
+from __future__ import annotations
+
+import argparse
+import glob as globlib
+import os
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def expand_braces(pattern: str):
+    """webdataset-style '{000000..000031}' brace expansion."""
+    m = re.search(r"\{(\d+)\.\.(\d+)\}", pattern)
+    if not m:
+        return sorted(globlib.glob(pattern)) or [pattern]
+    lo, hi = m.group(1), m.group(2)
+    width = len(lo)
+    return [
+        pattern[: m.start()] + str(i).zfill(width) + pattern[m.end() :]
+        for i in range(int(lo), int(hi) + 1)
+    ]
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--train-shards", required=True)
+    p.add_argument("--batch-size", type=int, default=30, help="videos per step (global)")
+    p.add_argument("--clip-num", type=int, default=3)
+    p.add_argument("--shift-lb", type=int, default=8)
+    p.add_argument("--lr", type=float, default=8e-4)
+    p.add_argument("--warmup", type=int, default=200)
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--steps-per-epoch", type=int, default=0, help="0 = full shards")
+    p.add_argument("--intra-weight", type=float, default=1.0)
+    p.add_argument("--embed-dim", type=int, default=512)
+    p.add_argument("--logdir", default="./logs/cavp")
+    p.add_argument("--save-every-epochs", type=int, default=3)
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--native-loader", action="store_true",
+                   help="use the C++ shard reader")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ..data.cavp_shards import CAVPShardConfig, iter_shards
+    from ..models.cavp import CAVPConfig, CAVPModel
+    from ..parallel.mesh import make_mesh
+    from ..train.stage1_cavp import (
+        Stage1TrainConfig, init_train_state, make_train_step,
+    )
+    from ..utils.checkpoint import CheckpointManager
+    from ..utils.logging import MetricsLogger, Stopwatch
+
+    shards = expand_braces(args.train_shards)
+    print(f"{len(shards)} shards")
+    scfg = CAVPShardConfig(clip_num=args.clip_num, shift_lb=args.shift_lb)
+
+    model = CAVPModel(CAVPConfig(embed_dim=args.embed_dim))
+    tcfg = Stage1TrainConfig(
+        lr=args.lr, warmup_steps=args.warmup, clip_num=args.clip_num,
+        intra_weight=args.intra_weight,
+    )
+    state = init_train_state(
+        model, jax.random.PRNGKey(args.seed), tcfg,
+        video_shape=(1, 16, 224, 224, 3), spec_shape=(1, 128, 256),
+    )
+    mgr = CheckpointManager(os.path.join(args.logdir, "ckpt"))
+    if args.resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        print(f"resumed from step {int(state.step)}")
+
+    mesh = make_mesh()
+    repl, dsh = NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+    state = jax.device_put(state, repl)
+    step_fn = jax.jit(
+        make_train_step(model, tcfg),
+        in_shardings=(repl, dsh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    logger = MetricsLogger(args.logdir, use_tensorboard=True)
+    rng = jax.device_put(jax.random.PRNGKey(args.seed + 1), repl)
+    watch = Stopwatch()
+
+    iter_fn = iter_shards
+    if args.native_loader:
+        from ..data.native_loader import iter_shards_native as iter_fn  # noqa
+
+    with mesh:
+        for epoch in range(args.epochs):
+            stream = iter_fn(
+                shards, seed=args.seed, epoch=epoch,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(), cfg=scfg,
+            )
+            buf = {"video": [], "spec": []}
+            n_steps = 0
+            for sample in stream:
+                buf["video"].append(sample["video"])
+                buf["spec"].append(sample["spec"])
+                if len(buf["video"]) == args.batch_size:
+                    batch = {
+                        k: jax.device_put(np.stack(v), dsh)
+                        for k, v in buf.items()
+                    }
+                    buf = {"video": [], "spec": []}
+                    state, metrics = step_fn(state, batch, rng)
+                    n_steps += 1
+                    step = int(state.step)
+                    if step % args.log_every == 0:
+                        m = {k: float(v) for k, v in metrics.items()}
+                        m["sec_per_step"] = watch.lap() / args.log_every
+                        logger.log(step, m, prefix="train/")
+                        print(f"epoch {epoch} step {step}: "
+                              f"loss={m['total_loss']:.4f}")
+                    if args.steps_per_epoch and n_steps >= args.steps_per_epoch:
+                        break
+            if (epoch + 1) % args.save_every_epochs == 0:
+                mgr.save(int(state.step), jax.device_get(state))
+    mgr.save(int(state.step), jax.device_get(state))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Alignment-classifier training driver (double guidance / eval classifier).
+
+Reference equivalent: the stage2_ldm/main.py driver with the
+Double_Guidance_Classifier config (SURVEY.md §3.4).
+
+Usage:
+  python -m diff_foley_tpu.cli.train_classifier --data-dir /data/vggsound \
+      --logdir ./logs/classifier --batch-size 32 --max-steps 50000
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--logdir", default="./logs/classifier")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=5e-5)
+    p.add_argument("--max-steps", type=int, default=50000)
+    p.add_argument("--save-every", type=int, default=2000)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--vae-ckpt", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ..data.ldm_dataset import SpecFeatDataset
+    from ..data.loader import PrefetchLoader
+    from ..parallel.mesh import make_mesh
+    from ..train.classifier import ClassifierTrainConfig, ClassifierTrainer
+    from ..utils.checkpoint import CheckpointManager
+    from ..utils.logging import MetricsLogger
+
+    trainer = ClassifierTrainer(cfg=ClassifierTrainConfig(lr=args.lr))
+    if args.vae_ckpt:
+        from ..utils.checkpoint import load_reference_ldm
+        from ..diffusion.latent_diffusion import LatentDiffusion
+
+        _, vae_params = load_reference_ldm(args.vae_ckpt, LatentDiffusion())
+    else:
+        import jax.numpy as jnp
+
+        vae_params = trainer.vae.init(
+            jax.random.PRNGKey(args.seed + 1), jnp.zeros((1, 128, 512, 3))
+        )
+
+    dataset = SpecFeatDataset.from_split_file(
+        args.data_dir, "train", alignment_labels=True
+    )
+    loader = PrefetchLoader(
+        dataset, args.batch_size,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+        seed=args.seed,
+    )
+
+    state = trainer.init_train_state(jax.random.PRNGKey(args.seed))
+    mgr = CheckpointManager(os.path.join(args.logdir, "ckpt"))
+    if args.resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+
+    mesh = make_mesh()
+    repl, dsh = NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+    state = jax.device_put(state, repl)
+    vae_params = jax.device_put(vae_params, repl)
+    step_fn = jax.jit(
+        trainer.make_train_step(vae_params),
+        in_shardings=(repl, dsh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    logger = MetricsLogger(args.logdir, use_tensorboard=True)
+    rng = jax.device_put(jax.random.PRNGKey(args.seed + 2), repl)
+
+    step = int(state.step)
+    epoch = 0
+    with mesh:
+        while step < args.max_steps:
+            for batch in loader.epoch(epoch):
+                batch = {k: jax.device_put(v, dsh) for k, v in batch.items()}
+                state, metrics = step_fn(state, batch, rng)
+                step = int(state.step)
+                if step % args.log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    logger.log(step, m, prefix="train/")
+                    print(f"step {step}: bce={m['bce_loss']:.4f} acc={m['acc']:.3f}")
+                if step % args.save_every == 0:
+                    mgr.save(step, jax.device_get(state))
+                if step >= args.max_steps:
+                    break
+            epoch += 1
+    mgr.save(step, jax.device_get(state))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Stage-2 LDM training driver.
+
+Reference equivalent: `training/stage2_ldm/main.py` + launch.sh
+(`python main.py --base cfg.yaml -t --gpus ...`). Differences are TPU-native:
+one process drives the whole `data`-axis mesh (no DDP fork), orbax
+checkpoints, JSONL metrics.
+
+Usage:
+  python -m diff_foley_tpu.cli.train_stage2 \
+      --base /root/reference/inference/config/Stage2_LDM.yaml \
+      --data-dir /data/vggsound --logdir ./logs/stage2 \
+      --batch-size 16 --max-steps 100000
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--base", type=str, default=None, help="model YAML (reference format)")
+    p.add_argument("--data-dir", type=str, required=True)
+    p.add_argument("--logdir", type=str, default="./logs/stage2")
+    p.add_argument("--batch-size", type=int, default=16, help="global batch")
+    p.add_argument("--base-lr", type=float, default=1e-4)
+    p.add_argument("--warmup-steps", type=int, default=1000)
+    p.add_argument("--max-steps", type=int, default=100000)
+    p.add_argument("--accum-steps", type=int, default=1)
+    p.add_argument("--use-ema", action="store_true")
+    p.add_argument("--save-every", type=int, default=2000)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--sound-log-every", type=int, default=0,
+                   help="0 disables the SoundLogger callback")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--vae-ckpt", type=str, default=None,
+                   help="torch VAE/LDM ckpt to convert for the frozen first stage")
+    p.add_argument("--tiny", action="store_true", help="tiny model for smoke runs")
+    return p.parse_args(argv)
+
+
+def build_ldm(args):
+    from ..diffusion.latent_diffusion import LatentDiffusion, LDMConfig
+    from ..models.unet import UNetConfig
+    from ..models.vae import VAEConfig
+
+    if args.tiny:
+        return LatentDiffusion(LDMConfig(
+            unet=UNetConfig(model_channels=32, num_res_blocks=1,
+                            channel_mult=(1, 2), attention_resolutions=(2,),
+                            num_heads=4, context_dim=24),
+            vae=VAEConfig(ch=32, ch_mult=(1, 2, 4, 4), num_res_blocks=1),
+            cond_embed_dim=24,
+        ))
+    if args.base:
+        from ..config import load_ldm_from_yaml
+
+        return load_ldm_from_yaml(args.base)
+    from ..diffusion.latent_diffusion import LatentDiffusion, LDMConfig
+
+    return LatentDiffusion(LDMConfig())
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ..data.ldm_dataset import LDMDataConfig, SpecFeatDataset
+    from ..data.loader import PrefetchLoader
+    from ..parallel.mesh import make_mesh
+    from ..train.callbacks import SoundLogger
+    from ..train.stage2_ldm import (
+        Stage2TrainConfig, init_train_state, make_train_step,
+    )
+    from ..utils.checkpoint import CheckpointManager
+    from ..utils.logging import MetricsLogger, Stopwatch
+
+    ldm = build_ldm(args)
+    tcfg = Stage2TrainConfig(
+        base_lr=args.base_lr, warmup_steps=args.warmup_steps,
+        use_ema=args.use_ema, accum_steps=args.accum_steps,
+    )
+    dataset = SpecFeatDataset.from_split_file(args.data_dir, "train")
+    loader = PrefetchLoader(
+        dataset, args.batch_size,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+        seed=args.seed,
+    )
+
+    mesh = make_mesh()
+    repl, dsh = NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+
+    key = jax.random.PRNGKey(args.seed)
+    state = init_train_state(ldm, key, tcfg)
+    if args.vae_ckpt:
+        from ..utils.checkpoint import load_reference_ldm
+
+        _, vae_params = load_reference_ldm(args.vae_ckpt, ldm)
+    else:
+        vae_params = ldm.init_vae_params(jax.random.PRNGKey(args.seed + 1))
+
+    mgr = CheckpointManager(os.path.join(args.logdir, "ckpt"))
+    if args.resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        print(f"resumed from step {int(state.step)}")
+
+    state = jax.device_put(state, repl)
+    vae_params = jax.device_put(vae_params, repl)
+    step_fn = jax.jit(
+        make_train_step(ldm, tcfg),
+        in_shardings=(repl, repl, dsh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    logger = MetricsLogger(args.logdir, use_tensorboard=True)
+    sound = (
+        SoundLogger(os.path.join(args.logdir, "sound"), ldm, vae_params,
+                    every_n_steps=args.sound_log_every)
+        if args.sound_log_every else None
+    )
+
+    rng = jax.device_put(jax.random.PRNGKey(args.seed + 2), repl)
+    watch = Stopwatch()
+    step = int(state.step)
+    epoch = 0
+    with mesh:
+        while step < args.max_steps:
+            for batch in loader.epoch(epoch):
+                batch = {
+                    "spec": jax.device_put(
+                        batch["spec"].transpose(0, 1, 2, 3), dsh
+                    ),
+                    "video_feat": jax.device_put(batch["video_feat"], dsh),
+                }
+                state, metrics = step_fn(state, vae_params, batch, rng)
+                step = int(state.step)
+                if step % args.log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m["sec_per_step"] = watch.lap() / args.log_every
+                    logger.log(step, m, prefix="train/")
+                    print(f"step {step}: loss={m['loss']:.4f}")
+                if step % args.save_every == 0:
+                    mgr.save(step, jax.device_get(state))
+                if sound is not None:
+                    sound.maybe_log(step, state.params, batch,
+                                    jax.random.PRNGKey(step))
+                if step >= args.max_steps:
+                    break
+            epoch += 1
+    mgr.save(step, jax.device_get(state))
+    print(f"done at step {step}")
+
+
+if __name__ == "__main__":
+    main()

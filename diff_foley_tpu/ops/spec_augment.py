@@ -1,0 +1,45 @@
+"""SpecAugment: time/frequency stripe dropout.
+
+Behavioural spec: reference `open_clip/aug_utils.py:51-76` (SpecAugmentation
+with DropStripes on time and frequency axes), opt-in via --use_spec_aug
+(model.py:486-488). Functional jax version: fixed stripe counts, uniform
+widths/offsets per sample.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("time_drop_width", "time_stripes",
+                                   "freq_drop_width", "freq_stripes"))
+def spec_augment(
+    spec: jnp.ndarray,
+    key: jax.Array,
+    time_drop_width: int = 64,
+    time_stripes: int = 2,
+    freq_drop_width: int = 8,
+    freq_stripes: int = 2,
+) -> jnp.ndarray:
+    """(B, n_mels, T) → masked copy (PANN defaults)."""
+    b, m, t = spec.shape
+
+    def stripes(key, axis_len, width, n, axis):
+        ks = jax.random.split(key, 2)
+        widths = jax.random.randint(ks[0], (b, n), 0, width + 1)
+        starts = jax.random.randint(ks[1], (b, n), 0, jnp.maximum(axis_len - width, 1))
+        pos = jnp.arange(axis_len)
+        # mask[b, x] = any stripe covers x
+        cover = (
+            (pos[None, None, :] >= starts[..., None])
+            & (pos[None, None, :] < (starts + widths)[..., None])
+        ).any(axis=1)
+        shape = (b, 1, axis_len) if axis == 2 else (b, axis_len, 1)
+        return 1.0 - cover.reshape(shape).astype(spec.dtype)
+
+    k1, k2 = jax.random.split(key)
+    mask_t = stripes(k1, t, time_drop_width, time_stripes, axis=2)
+    mask_f = stripes(k2, m, freq_drop_width, freq_stripes, axis=1)
+    return spec * mask_t * mask_f

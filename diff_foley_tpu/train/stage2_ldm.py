@@ -38,6 +38,7 @@ class Stage2TrainConfig:
     ema_decay: float = 0.9999
     grad_clip: Optional[float] = None
     weight_decay: float = 0.01      # torch AdamW default
+    accum_steps: int = 1            # reference --accum-freq equivalent
 
 
 def make_optimizer(cfg: Stage2TrainConfig) -> optax.GradientTransformation:
@@ -48,6 +49,8 @@ def make_optimizer(cfg: Stage2TrainConfig) -> optax.GradientTransformation:
     )
     if cfg.grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    if cfg.accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
     return tx
 
 

@@ -18,7 +18,12 @@ class EmaState(NamedTuple):
 
 
 def ema_init(params) -> EmaState:
-    return EmaState(jax.tree.map(jnp.asarray, params), jnp.asarray(0, jnp.int32))
+    # explicit copy: the EMA tree must not alias the live params (donation
+    # of a train state would otherwise donate the same buffer twice)
+    return EmaState(
+        jax.tree.map(lambda x: jnp.array(x, copy=True), params),
+        jnp.asarray(0, jnp.int32),
+    )
 
 
 def ema_update(state: EmaState, new_params, decay: float = 0.9999) -> EmaState:

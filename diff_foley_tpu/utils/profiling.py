@@ -1,0 +1,72 @@
+"""Profiling and cost analysis.
+
+TPU-native replacement for the reference's fvcore FLOP counter
+(`training/profile.py:18-158`) and CUDACallback epoch timing
+(`stage2_ldm/main.py:49-69`): XLA's own cost model via
+`jax.stages.Lowered.cost_analysis()`, wall-clock step timing with forced
+host readback (the axon relay does not block in `block_until_ready`), and
+`jax.profiler` trace capture for per-op timelines.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def cost_analysis(fn: Callable, *args, **kwargs) -> Dict[str, float]:
+    """FLOPs / bytes for a jittable fn at the given example args."""
+    lowered = jax.jit(fn).lower(*args, **kwargs)
+    compiled = lowered.compile()
+    costs = compiled.cost_analysis()
+    if isinstance(costs, list):  # older jax returns a per-device list
+        costs = costs[0]
+    return {
+        "flops": float(costs.get("flops", 0.0)),
+        "bytes_accessed": float(costs.get("bytes accessed", 0.0)),
+        "transcendentals": float(costs.get("transcendentals", 0.0)),
+    }
+
+
+def timed_call(fn: Callable, *args, iters: int = 10, warmup: int = 1):
+    """Wall-clock a compiled fn with a forced scalar readback per batch of
+    iterations. Returns (seconds_per_call, last_output)."""
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    _force(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    _force(out)
+    return (time.time() - t0) / iters, out
+
+
+def _force(tree):
+    leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "sum")]
+    if leaves:
+        float(leaves[0].sum())
+
+
+def flops_per_second(fn: Callable, *args, iters: int = 10) -> Dict[str, float]:
+    costs = cost_analysis(fn, *args)
+    jitted = jax.jit(fn)
+    sec, _ = timed_call(jitted, *args, iters=iters)
+    return {
+        **costs,
+        "seconds_per_call": sec,
+        "tflops_per_second": costs["flops"] / sec / 1e12,
+    }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace context (view in TensorBoard / xprof)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

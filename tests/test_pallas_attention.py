@@ -1,0 +1,74 @@
+"""Pallas fused attention vs XLA reference (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diff_foley_tpu.ops.attention import multi_head_attention
+from diff_foley_tpu.ops import pallas_attention as pa
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    """Run pallas kernels in interpreter mode on the CPU test platform."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    ctx = pltpu.force_tpu_interpret_mode()
+    ctx.__enter__()
+    yield
+    ctx.__exit__(None, None, None)
+
+
+@pytest.mark.parametrize(
+    "b,h,lq,lk,d",
+    [
+        (2, 4, 64, 64, 40),    # UNet level-2 self-attn head dim
+        (1, 8, 256, 40, 80),   # cross-attn over 40 cond tokens
+        (1, 2, 1024, 1024, 160),  # top-level self-attn
+        (2, 2, 100, 30, 16),   # ragged everything
+    ],
+)
+def test_pallas_matches_xla(b, h, lq, lk, d):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, h, lq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, lk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, lk, d)), jnp.float32)
+    scale = d**-0.5
+    ref = pa._xla_reference(q, k, v, scale)
+    out = pa.flash_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_gradient_matches_xla():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(1, 2, 32, 40)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, 16, 40)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 16, 40)), jnp.float32)
+    scale = 40**-0.5
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(pa.flash_attention(q, k, v, scale) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(pa._xla_reference(q, k, v, scale) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_backend_switch(monkeypatch):
+    from diff_foley_tpu.ops import attention as att
+
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(1, 2, 16, 8)), jnp.float32)
+    ref = multi_head_attention(q, q, q, backend="xla")
+    out = multi_head_attention(q, q, q, backend="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    att.set_attention_backend("pallas")
+    assert att.get_attention_backend() == "pallas"
+    att.set_attention_backend("xla")
+    with pytest.raises(AssertionError):
+        att.set_attention_backend("nope")
