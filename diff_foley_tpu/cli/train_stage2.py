@@ -123,6 +123,9 @@ def main(argv=None):
         if args.sound_log_every else None
     )
 
+    from ..utils.resilience import PreemptionCheckpointer
+
+    preempt = PreemptionCheckpointer()  # SIGUSR1/SIGTERM → checkpoint (melk)
     rng = jax.device_put(jax.random.PRNGKey(args.seed + 2), repl)
     watch = Stopwatch()
     step = int(state.step)
@@ -143,8 +146,9 @@ def main(argv=None):
                     m["sec_per_step"] = watch.lap() / args.log_every
                     logger.log(step, m, prefix="train/")
                     print(f"step {step}: loss={m['loss']:.4f}")
-                if step % args.save_every == 0:
+                if step % args.save_every == 0 or preempt.should_checkpoint:
                     mgr.save(step, jax.device_get(state))
+                    preempt.clear()
                 if sound is not None:
                     sound.maybe_log(step, state.params, batch,
                                     jax.random.PRNGKey(step))

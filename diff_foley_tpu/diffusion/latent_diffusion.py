@@ -43,6 +43,7 @@ class LDMConfig:
     linear_end: float = 0.0120
     scale_factor: float = 0.18215
     cond_drop_prob: float = 0.2  # CFG dropout (ddpm.py:723-729)
+    conditioning_key: str = "crossattn"  # {None,'concat','crossattn','hybrid','adm'}
 
 
 class LatentDiffusion:
@@ -103,9 +104,22 @@ class LatentDiffusion:
         return self.cond_encoder.apply(params["cond"], feat)
 
     def apply_model(
-        self, params: Dict, x: jnp.ndarray, t: jnp.ndarray, context: jnp.ndarray,
-        deterministic: bool = True, rngs=None,
+        self, params: Dict, x: jnp.ndarray, t: jnp.ndarray, context=None,
+        deterministic: bool = True, rngs=None, c_concat=None, y=None,
     ) -> jnp.ndarray:
+        """Route conditioning into the UNet (DiffusionWrapper,
+        ddpm.py:1545-1571): channel-concat, cross-attention tokens, both
+        ('hybrid'), or class labels ('adm')."""
+        key = self.cfg.conditioning_key
+        if key in ("concat", "hybrid"):
+            assert c_concat is not None
+            x = jnp.concatenate([x, c_concat], axis=-1)
+        if key == "concat":
+            context = None
+        if key == "adm":
+            return self.unet.apply(
+                params["unet"], x, t, None, deterministic, y=y, rngs=rngs
+            )
         return self.unet.apply(
             params["unet"], x, t, context, deterministic, rngs=rngs
         )

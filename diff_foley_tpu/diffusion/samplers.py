@@ -88,6 +88,62 @@ def ddim_sample(
     return x
 
 
+def ddim_stochastic_encode(
+    schedule: DiffusionSchedule,
+    x0: jnp.ndarray,
+    t_index: jnp.ndarray,
+    key: jax.Array,
+    steps: int = 25,
+    noise: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Diffuse x0 forward to DDIM step index t (ddim.py:399-413) — the
+    img2img entry point."""
+    ac = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
+    ts = make_ddim_timesteps("uniform", steps, schedule.num_timesteps)
+    _, alphas, _ = make_ddim_sampling_parameters(ac, ts, 0.0)
+    sqrt_a = jnp.asarray(np.sqrt(alphas), jnp.float32)
+    sqrt_1ma = jnp.asarray(np.sqrt(1.0 - alphas), jnp.float32)
+    if noise is None:
+        noise = jax.random.normal(key, x0.shape, x0.dtype)
+    expand = lambda a: a[t_index].reshape(-1, *([1] * (x0.ndim - 1)))
+    return expand(sqrt_a) * x0 + expand(sqrt_1ma) * noise
+
+
+def ddim_decode(
+    eps_fn: EpsFn,
+    schedule: DiffusionSchedule,
+    x_latent: jnp.ndarray,
+    t_start: int,
+    steps: int = 25,
+) -> jnp.ndarray:
+    """Deterministic DDIM decode from step index t_start (ddim.py:415-433):
+    the second half of img2img after ddim_stochastic_encode."""
+    ac = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
+    ts = make_ddim_timesteps("uniform", steps, schedule.num_timesteps)
+    assert 1 <= t_start <= len(ts), (t_start, len(ts))
+    sigmas, alphas, alphas_prev = make_ddim_sampling_parameters(ac, ts, 0.0)
+    sqrt_one_minus = np.sqrt(1.0 - alphas)
+
+    sel = slice(t_start - 1, None, -1)  # indices t_start-1 … 0
+    tbl = dict(
+        t=jnp.asarray(ts[sel].copy(), jnp.float32),
+        a=jnp.asarray(alphas[sel], jnp.float32),
+        a_prev=jnp.asarray(alphas_prev[sel], jnp.float32),
+        s1ma=jnp.asarray(sqrt_one_minus[sel], jnp.float32),
+    )
+
+    def step(x, c):
+        b = x.shape[0]
+        t_vec = jnp.full((b,), c["t"], x.dtype)
+        e_t = eps_fn(x, t_vec, c["s1ma"])
+        pred_x0 = (x - c["s1ma"] * e_t) / jnp.sqrt(c["a"])
+        dir_xt = jnp.sqrt(1.0 - c["a_prev"]) * e_t
+        return jnp.sqrt(c["a_prev"]) * pred_x0 + dir_xt, None
+
+    x, _ = jax.lax.scan(step, x_latent, tbl)
+    return x
+
+
 # --------------------------------------------------------------------------
 # DPM-Solver++(2M)  — the shipped inference operating point
 # --------------------------------------------------------------------------

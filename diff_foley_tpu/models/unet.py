@@ -50,6 +50,7 @@ class UNetConfig:
     context_dim: int = 768
     dropout: float = 0.0
     use_checkpoint: bool = False
+    num_classes: int = 0  # >0 enables class conditioning (the 'adm' mode)
     dtype: str = "float32"
 
     @property
@@ -76,14 +77,21 @@ class UNetModel(nn.Module):
     cfg: UNetConfig = LDM_UNET
 
     @nn.compact
-    def __call__(self, x, timesteps, context, deterministic: bool = True):
+    def __call__(self, x, timesteps, context=None, deterministic: bool = True,
+                 y=None):
         cfg = self.cfg
         dt = cfg.compute_dtype
         t_emb = timestep_embedding(timesteps, cfg.model_channels)
         emb = TimestepEmbedMLP(4 * cfg.model_channels, name="time_embed")(t_emb)
+        if cfg.num_classes:
+            assert y is not None, "class-conditional UNet needs y"
+            emb = emb + nn.Embed(
+                cfg.num_classes, 4 * cfg.model_channels, name="label_emb"
+            )(y)
         emb = emb.astype(dt)
         x = x.astype(dt)
-        context = context.astype(dt)
+        if context is not None:
+            context = context.astype(dt)
 
         def attn(ch, name):
             return SpatialTransformer(

@@ -114,6 +114,98 @@ def temporal_semantic_loss(
     }
 
 
+def temporal_semantic_bias_loss(
+    video_temporal: jnp.ndarray,
+    video_mean: jnp.ndarray,
+    spec_temporal: jnp.ndarray,
+    spec_mean: jnp.ndarray,
+    logit_scale: jnp.ndarray,
+    start_bias_index: jnp.ndarray,   # (B, 2) [video_start, spec_start]
+    end_bias_index: jnp.ndarray,     # (B, 2)
+    temporal_mix_weight: float = 0.5,
+) -> Dict[str, jnp.ndarray]:
+    """Shifted-diagonal temporal CE for misaligned windows
+    (ClipLoss_Temporal_Semantic_Bias, loss.py:297-445).
+
+    When the video window starts later than the spec window, video frame v
+    aligns with spec frame v − shift (and vice versa); out-of-window frames
+    are masked out of the CE.
+    """
+    semantic = clip_loss(video_mean, spec_mean, logit_scale)
+
+    b, t, _ = video_temporal.shape
+    logits_v = logit_scale * jnp.einsum("btd,bsd->bts", video_temporal, spec_temporal)
+    logits_s = jnp.swapaxes(logits_v, 1, 2)
+
+    truncate_len = (end_bias_index - start_bias_index)[:, 0] + 1
+    zp = t - truncate_len                                  # (B,)
+    video_late = start_bias_index[:, 0] != 0               # (B,) bool
+    pos = jnp.arange(t)[None, :]                           # (1, T)
+
+    def masked_ce(logits, target, mask):
+        ls = jax.nn.log_softmax(logits, axis=-1)
+        picked = jnp.take_along_axis(ls, target[..., None], axis=-1)[..., 0]
+        per = -(picked * mask).sum(axis=1) / jnp.maximum(mask.sum(axis=1), 1)
+        return per.mean()
+
+    # video→spec: case A (video late): valid v ∈ [zp, T), target v − zp
+    #             case B:               valid v ∈ [0, T−zp), target v + zp
+    shift = jnp.where(video_late, zp, -zp)[:, None]        # (B, 1)
+    tgt_v2s = jnp.clip(pos - shift, 0, t - 1)
+    mask_v2s = jnp.where(
+        video_late[:, None], pos >= zp[:, None], pos < (t - zp[:, None])
+    ).astype(logits_v.dtype)
+    tgt_s2v = jnp.clip(pos + shift, 0, t - 1)
+    mask_s2v = jnp.where(
+        video_late[:, None], pos < (t - zp[:, None]), pos >= zp[:, None]
+    ).astype(logits_v.dtype)
+
+    temporal = 0.5 * (
+        masked_ce(logits_v, tgt_v2s, mask_v2s)
+        + masked_ce(logits_s, tgt_s2v, mask_s2v)
+    )
+    total = semantic + temporal_mix_weight * temporal
+    return {
+        "total_loss": total,
+        "semantic_contrast_loss": semantic,
+        "temporal_contrast_loss": temporal,
+    }
+
+
+def intra_contrast_temporal_mean_loss(
+    video_max: jnp.ndarray,
+    video_mean: jnp.ndarray,
+    spec_max: jnp.ndarray,
+    spec_mean: jnp.ndarray,
+    logit_scale: jnp.ndarray,
+    clip_num: int = 3,
+    intra_weight: float = 1.0,
+) -> Dict[str, jnp.ndarray]:
+    """Max-pooled extra CE + mean-pooled per-video intra CE
+    (ClipLoss_Intra_Contrast_Temporal_Mean, loss.py:543-645)."""
+    extra = clip_loss(video_max, spec_max, logit_scale)
+
+    bs, c = video_mean.shape
+    v = video_mean.reshape(-1, clip_num, c)
+    s = spec_mean.reshape(-1, clip_num, c)
+    logits = logit_scale * jnp.einsum("bic,bjc->bij", v, s)
+    labels = jnp.broadcast_to(jnp.arange(clip_num), logits.shape[:2])
+    # NOTE: the reference averages the video-side CE with itself (loss.py:644)
+    # — an apparent typo; here both directions are used.
+    intra = 0.5 * (
+        optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+        + optax.softmax_cross_entropy_with_integer_labels(
+            jnp.swapaxes(logits, 1, 2), labels
+        ).mean()
+    )
+    total = extra + intra_weight * intra
+    return {
+        "total_loss": total,
+        "extra_contrast_loss": extra,
+        "intra_contrast_loss": intra,
+    }
+
+
 def retrieval_metrics(
     video_feats: jnp.ndarray, spec_feats: jnp.ndarray
 ) -> Dict[str, jnp.ndarray]:

@@ -17,7 +17,7 @@ LatentDiffusion checkpoint splits on the `model.diffusion_model.` /
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Mapping, Tuple
+from typing import Callable, Dict, Mapping, Optional, Tuple
 
 import numpy as np
 
@@ -378,6 +378,118 @@ def split_ldm_state_dict(sd: StateDict) -> Tuple[Dict, Dict, Dict]:
         elif k.startswith("cond_stage_model."):
             cond[k[len("cond_stage_model.") :]] = v
     return unet, vae, cond
+
+
+def merge_params(init_tree, loaded_tree, _path=""):
+    """strict=False checkpoint semantics (reference ddpm.py:191-207 /
+    demo_util.py:113-121): take loaded values where the key exists and the
+    shape matches, keep the initialisation otherwise.
+
+    Returns (merged, missing_keys, unexpected_keys).
+    """
+    missing, unexpected = [], []
+
+    def walk(init, loaded, path):
+        if isinstance(init, dict):
+            out = {}
+            loaded = loaded if isinstance(loaded, dict) else {}
+            for k, v in init.items():
+                if k in loaded:
+                    out[k] = walk(v, loaded[k], f"{path}/{k}")
+                else:
+                    missing.append(f"{path}/{k}")
+                    out[k] = v
+            for k in loaded:
+                if k not in init:
+                    unexpected.append(f"{path}/{k}")
+            return out
+        if loaded is None or getattr(loaded, "shape", None) != getattr(
+            init, "shape", None
+        ):
+            missing.append(path)
+            return init
+        return loaded
+
+    merged = walk(init_tree, loaded_tree, _path)
+    return merged, missing, unexpected
+
+
+def inflate_resnet50_to_slowonly(sd: StateDict, prefix: str = "",
+                                 stage_blocks=(3, 4, 6, 3)) -> Dict:
+    """torchvision ResNet-50 (2D) → SlowOnly-R50 (3D) weight inflation.
+
+    Mirrors mmaction's _inflate_weights (audio_contrastive.py:706-766): each
+    2D kernel is expanded along the temporal axis to the 3D kernel's t-size
+    and divided by t (magnitude preserved); BN stats copy over directly.
+    Temporal sizes follow the SlowOnly config: stem (1,7,7); stages 1-2
+    conv1 t=1; stages 3-4 conv1 t=3 (inflate 3x1x1); all conv2/conv3 t=1.
+    """
+    m = _BNMapper(sd, prefix)
+
+    def inflate(my: str, torch_key: str, t: int) -> None:
+        w = _np(m.sd[m.prefix + torch_key + ".weight"])  # (O, I, kh, kw)
+        w3 = np.repeat(w[:, :, None, :, :], t, axis=2) / float(t)
+        _set(m.tree, f"{my}/conv/kernel", w3.transpose(2, 3, 4, 1, 0))
+        m.used.add(m.prefix + torch_key + ".weight")
+
+    def bn(my: str, torch_key: str) -> None:
+        m.take(f"{my}/bn/scale", f"{torch_key}.weight", _id)
+        m.take(f"{my}/bn/bias", f"{torch_key}.bias", _id)
+        for src, dst in (("running_mean", "mean"), ("running_var", "var")):
+            _set(m.stats, f"{my}/bn/{dst}", _id(m.sd[m.prefix + f"{torch_key}.{src}"]))
+
+    inflate("conv1", "conv1", 1)
+    bn("conv1", "bn1")
+    inflate_t = {1: 1, 2: 1, 3: 3, 4: 3}  # conv1 temporal size per stage
+    for s, blocks in enumerate(stage_blocks, start=1):
+        for b in range(blocks):
+            my = f"layer{s}_{b}"
+            tk = f"layer{s}.{b}"
+            inflate(f"{my}/conv1", f"{tk}.conv1", inflate_t[s])
+            bn(f"{my}/conv1", f"{tk}.bn1")
+            inflate(f"{my}/conv2", f"{tk}.conv2", 1)
+            bn(f"{my}/conv2", f"{tk}.bn2")
+            inflate(f"{my}/conv3", f"{tk}.conv3", 1)
+            bn(f"{my}/conv3", f"{tk}.bn3")
+            if b == 0:
+                inflate(f"{my}/downsample", f"{tk}.downsample.0", 1)
+                bn(f"{my}/downsample", f"{tk}.downsample.1")
+    return m.result()
+
+
+def init_cavp_pretrained_towers(cavp_variables: Dict,
+                                slowonly_kinetics_sd: Optional[StateDict] = None,
+                                cnn14_pann_sd: Optional[StateDict] = None):
+    """CAVP tower init from pretrained ckpts (model.py:557-573):
+    Kinetics-400 SlowOnly ('backbone.'-prefixed) and PANN Cnn14_16k
+    ({'model': ...} payload), merged strict=False into fresh variables."""
+    params = cavp_variables["params"]
+    stats = cavp_variables.get("batch_stats", {})
+    report = {}
+    if slowonly_kinetics_sd is not None:
+        sd = {
+            k[len("backbone.") :] if k.startswith("backbone.") else k: v
+            for k, v in slowonly_kinetics_sd.items()
+        }
+        conv = convert_slowonly(sd)
+        params["video_encoder"], mis, unexp = merge_params(
+            params["video_encoder"], conv["params"]
+        )
+        stats["video_encoder"], _, _ = merge_params(
+            stats["video_encoder"], conv["batch_stats"]
+        )
+        report["video"] = (mis, unexp)
+    if cnn14_pann_sd is not None:
+        sd = cnn14_pann_sd.get("model", cnn14_pann_sd)
+        conv = convert_cnn14(sd)
+        params["spec_encoder"], mis, unexp = merge_params(
+            params["spec_encoder"], conv["params"]
+        )
+        stats["spec_encoder"], _, _ = merge_params(
+            stats["spec_encoder"], conv["batch_stats"]
+        )
+        report["spec"] = (mis, unexp)
+    return {"params": params, "batch_stats": stats}, report
 
 
 def load_torch_state_dict(path: str) -> Dict:
