@@ -57,7 +57,8 @@ def build_pipeline(key):
 
 def main():
     pipe = build_pipeline(jax.random.PRNGKey(0))
-    gen = GenerationConfig(sample_num=1)  # 1 sample per window; CLIPS windows
+    # 1 sample per window; CLIPS windows; serving mode (wav-only readback)
+    gen = GenerationConfig(sample_num=1, return_spec=False)
     feats = np.random.default_rng(0).normal(size=(CLIPS * WINDOW_FEATS, 512))
     feats = feats.astype(np.float32)
 

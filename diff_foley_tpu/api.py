@@ -1,0 +1,94 @@
+"""High-level user API: the notebook/demo surface as one object.
+
+Mirrors the reference demo flow (inference/demo_util.py +
+diff_foley_inference.ipynb): load the three checkpoints, extract CAVP
+features from a video, generate foley audio.
+
+    from diff_foley_tpu.api import DiffFoley
+    df = DiffFoley.from_checkpoints(cavp="cavp_epoch66.ckpt",
+                                    ldm="ldm_epoch240.ckpt",
+                                    classifier="double_guidance_classifier.ckpt")
+    out = df.generate_for_video("video.mp4", seed=21)
+    # out["wav"]: (sample_num, n_samples) float32 @16 kHz
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .diffusion.latent_diffusion import LatentDiffusion, LDMConfig
+from .models.cavp import CAVPModel
+from .models.cond_encoder import VideoFeatEncoderPosembed
+from .models.unet import CLASSIFIER_BACKBONE, ClassifierBackbone
+from .pipeline import DiffFoleyPipeline, GenerationConfig
+from .utils.precision import cast_floating
+from .video.ingest import extract_cavp_features
+
+
+class DiffFoley:
+    def __init__(self, ldm: LatentDiffusion, params, vae_params,
+                 cavp: CAVPModel, cavp_variables, classifier=None,
+                 bf16: bool = True):
+        if bf16:
+            ldm = LatentDiffusion(dataclasses.replace(
+                ldm.cfg, unet=dataclasses.replace(ldm.cfg.unet, dtype="bfloat16")
+            ))
+            params = {"unet": cast_floating(params["unet"]),
+                      "cond": params["cond"]}
+        self.ldm = ldm
+        self.cavp = cavp
+        self.cavp_variables = cavp_variables
+        self.pipe = DiffFoleyPipeline(ldm, params, vae_params, classifier)
+        self._encode = jax.jit(
+            lambda v, x: cavp.apply(
+                v, jnp.asarray(x),
+                method=lambda m, a: m.encode_video(a, normalize=True, pool=False),
+            )
+        )
+
+    @classmethod
+    def from_checkpoints(
+        cls, cavp: str, ldm: str, classifier: Optional[str] = None,
+        bf16: bool = True,
+    ) -> "DiffFoley":
+        from .utils.checkpoint import (
+            load_reference_cavp,
+            load_reference_classifier,
+            load_reference_ldm,
+        )
+
+        ldm_model = LatentDiffusion(LDMConfig())
+        params, vae_params = load_reference_ldm(ldm, ldm_model)
+        cavp_model = CAVPModel()
+        cavp_vars = load_reference_cavp(cavp)
+        clf = None
+        if classifier:
+            cp = load_reference_classifier(classifier)
+            backbone = ClassifierBackbone(CLASSIFIER_BACKBONE)
+            cond = VideoFeatEncoderPosembed(embed_dim=512, seq_len=40)
+            clf = (backbone.apply, cp["backbone"], cp["cond"], cond)
+        return cls(ldm_model, params, vae_params, cavp_model, cavp_vars, clf,
+                   bf16=bf16)
+
+    def extract_features(self, video_path: str, start_second: float = 0.0,
+                         truncate_second: Optional[float] = None) -> np.ndarray:
+        return extract_cavp_features(
+            video_path, self._encode, self.cavp_variables,
+            start_second=start_second, truncate_second=truncate_second,
+        )
+
+    def generate_for_video(
+        self, video_path: str, seed: int = 21,
+        gen: GenerationConfig = GenerationConfig(),
+        start_second: float = 0.0, truncate_second: Optional[float] = 8.2,
+    ):
+        feats = self.extract_features(video_path, start_second, truncate_second)
+        return self.pipe.generate(feats, jax.random.PRNGKey(seed), gen)
+
+    def generate_from_features(self, feats: np.ndarray, seed: int = 21,
+                               gen: GenerationConfig = GenerationConfig()):
+        return self.pipe.generate(feats, jax.random.PRNGKey(seed), gen)

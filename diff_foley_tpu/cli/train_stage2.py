@@ -37,6 +37,11 @@ def parse_args(argv=None):
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--sound-log-every", type=int, default=0,
                    help="0 disables the SoundLogger callback")
+    p.add_argument("--val-every", type=int, default=0,
+                   help="validation every N steps (0 disables); monitors "
+                        "val/loss_simple(_ema) like the reference ckpt "
+                        "selection")
+    p.add_argument("--val-batches", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--vae-ckpt", type=str, default=None,
@@ -90,6 +95,17 @@ def main(argv=None):
         process_index=jax.process_index(), process_count=jax.process_count(),
         seed=args.seed,
     )
+    val_loader = None
+    if args.val_every:
+        try:
+            val_ds = SpecFeatDataset.from_split_file(args.data_dir, "valid")
+        except FileNotFoundError:
+            val_ds = dataset  # fall back: monitor on train split
+        val_loader = PrefetchLoader(
+            val_ds, args.batch_size,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(), seed=args.seed + 99,
+        )
 
     mesh = make_mesh()
     repl, dsh = NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
@@ -110,11 +126,16 @@ def main(argv=None):
 
     state = jax.device_put(state, repl)
     vae_params = jax.device_put(vae_params, repl)
+    train_step = make_train_step(ldm, tcfg)
     step_fn = jax.jit(
-        make_train_step(ldm, tcfg),
+        train_step,
         in_shardings=(repl, repl, dsh, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
+    )
+    eval_fn = jax.jit(
+        train_step.eval_step,
+        in_shardings=(repl, repl, dsh, repl), out_shardings=repl,
     )
     logger = MetricsLogger(args.logdir, use_tensorboard=True)
     sound = (
@@ -146,6 +167,17 @@ def main(argv=None):
                     m["sec_per_step"] = watch.lap() / args.log_every
                     logger.log(step, m, prefix="train/")
                     print(f"step {step}: loss={m['loss']:.4f}")
+                if args.val_every and step % args.val_every == 0:
+                    vlosses = []
+                    for vb in val_loader.epoch(step // args.val_every):
+                        vb = {k: jax.device_put(v, dsh) for k, v in vb.items()}
+                        vm = eval_fn(state, vae_params, vb, rng)
+                        vlosses.append(float(vm["loss_simple"]))
+                        if len(vlosses) >= args.val_batches:
+                            break
+                    name = "loss_simple_ema" if tcfg.use_ema else "loss_simple"
+                    logger.log(step, {name: float(np.mean(vlosses))}, prefix="val/")
+                    print(f"step {step}: val/{name}={np.mean(vlosses):.4f}")
                 if step % args.save_every == 0 or preempt.should_checkpoint:
                     mgr.save(step, jax.device_get(state))
                     preempt.clear()

