@@ -56,6 +56,9 @@ def build_pipeline(key):
 
 
 def main():
+    from diff_foley_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     pipe = build_pipeline(jax.random.PRNGKey(0))
     # 1 sample per window; CLIPS windows; serving mode (wav-only readback)
     gen = GenerationConfig(sample_num=1, return_spec=False)

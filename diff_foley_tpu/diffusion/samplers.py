@@ -52,13 +52,15 @@ def ddim_sample(
     steps: int = 25,
     eta: float = 0.0,
     temperature: float = 1.0,
+    discr_method: str = "uniform",
 ) -> jnp.ndarray:
     """DDIM sampling loop (ddim.py:232-316 / 345-396).
 
     Classifier-grad scale per step is √(1−ᾱ_t) (ddim.py:368,380).
+    discr_method: 'uniform' or 'quad' timestep spacing (util.py:46-53).
     """
     ac = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
-    ts = make_ddim_timesteps("uniform", steps, schedule.num_timesteps)
+    ts = make_ddim_timesteps(discr_method, steps, schedule.num_timesteps)
     steps = len(ts)  # uniform stride may over-produce (util.py:48-49 semantics)
     sigmas, alphas, alphas_prev = make_ddim_sampling_parameters(ac, ts, eta)
     sqrt_one_minus = np.sqrt(1.0 - alphas)

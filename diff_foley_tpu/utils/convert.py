@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Mapping, Optional, Tuple
 
+import jax
 import numpy as np
 
 Array = np.ndarray
@@ -109,9 +110,54 @@ class _Mapper:
         self.conv(f"{my}/proj_out", f"{torch}.proj_out")
 
 
-def convert_unet(sd: StateDict, cfg, prefix: str = "") -> Dict:
+def _get(tree, path: str):
+    node = tree
+    for p in path.split("/"):
+        node = node[p]
+    return node
+
+
+def _conv_inv(a):   # HWIO → OIHW
+    return np.asarray(a).transpose(3, 2, 0, 1)
+
+
+def _conv3d_inv(a):  # tHWIO → OItHW
+    return np.asarray(a).transpose(4, 3, 0, 1, 2)
+
+
+_INVERSE = {}
+
+
+class _ExportMapper(_Mapper):
+    """Walks the same layout maps in reverse: flax params → torch keys.
+
+    Instantiate with the flax 'params' subtree (no {'params': ...} wrapper);
+    the exported dict uses the reference torch key layout and numpy arrays.
+    """
+
+    def __init__(self, params: Dict, prefix: str = ""):
+        super().__init__({}, prefix)
+        self.params = params
+        self.out: Dict[str, np.ndarray] = {}
+
+    def take(self, my_path: str, torch_key: str, tf: Callable) -> None:
+        inv = _INVERSE[tf]
+        self.out[self.prefix + torch_key] = np.asarray(inv(_get(self.params, my_path)))
+
+    def assert_complete(self) -> None:
+        """Every param leaf must have been exported exactly once — catches a
+        config that walks a smaller structure than the checkpoint has."""
+        n_leaves = len(jax.tree_util.tree_leaves(self.params))
+        if n_leaves != len(self.out):
+            raise ValueError(
+                f"export incomplete: {len(self.out)} exported keys for "
+                f"{n_leaves} parameter leaves (config/layout mismatch?)"
+            )
+
+
+def convert_unet(sd: StateDict, cfg, prefix: str = "", mapper=None) -> Dict:
     """Reference UNetModel state dict → flax params for models.unet.UNetModel."""
-    m = _Mapper(sd, prefix)
+    m = mapper or _Mapper(sd, prefix)
     m.dense("time_embed/dense0", "time_embed.0")
     m.dense("time_embed/dense1", "time_embed.2")
     m.conv("in_conv", "input_blocks.0.0")
@@ -174,9 +220,18 @@ def convert_unet(sd: StateDict, cfg, prefix: str = "") -> Dict:
     return {"params": m.tree}
 
 
-def convert_classifier_backbone(sd: StateDict, cfg, prefix: str = "") -> Dict:
+def export_unet(params: Dict, cfg, prefix: str = "") -> Dict:
+    """flax UNet params → reference-layout torch-style state dict (numpy)."""
+    m = _ExportMapper(params.get("params", params), prefix)
+    convert_unet(None, cfg, mapper=m)
+    m.assert_complete()
+    return m.out
+
+
+def convert_classifier_backbone(sd: StateDict, cfg, prefix: str = "",
+                                mapper=None) -> Dict:
     """Classifier_Backbone state dict → flax params (encoder half + head)."""
-    m = _Mapper(sd, prefix)
+    m = mapper or _Mapper(sd, prefix)
     m.dense("time_embed/dense0", "time_embed.0")
     m.dense("time_embed/dense1", "time_embed.2")
     m.conv("in_conv", "input_blocks.0.0")
@@ -207,6 +262,13 @@ def convert_classifier_backbone(sd: StateDict, cfg, prefix: str = "") -> Dict:
     m.conv("out_conv", "out.2")
     m.dense("classifier", "classifier")
     return {"params": m.tree}
+
+
+def export_classifier_backbone(params: Dict, cfg, prefix: str = "") -> Dict:
+    m = _ExportMapper(params.get("params", params), prefix)
+    convert_classifier_backbone(None, cfg, mapper=m)
+    m.assert_complete()
+    return m.out
 
 
 def _convert_vae_half(m: _Mapper, side: str, cfg) -> None:
@@ -254,9 +316,9 @@ def _vae_resblock(m: _Mapper, my: str, torch: str, has_skip: bool) -> None:
         m.conv(f"{my}/nin_shortcut", f"{torch}.nin_shortcut")
 
 
-def convert_vae(sd: StateDict, cfg, prefix: str = "") -> Dict:
+def convert_vae(sd: StateDict, cfg, prefix: str = "", mapper=None) -> Dict:
     """AutoencoderKL state dict → flax params for models.vae.AutoencoderKL."""
-    m = _Mapper(sd, prefix)
+    m = mapper or _Mapper(sd, prefix)
     _convert_vae_half(m, "encoder", cfg)
     _convert_vae_half(m, "decoder", cfg)
     m.conv("quant_conv", "quant_conv")
@@ -264,17 +326,46 @@ def convert_vae(sd: StateDict, cfg, prefix: str = "") -> Dict:
     return {"params": m.tree}
 
 
-def convert_cond_encoder(sd: StateDict, prefix: str = "") -> Dict:
+def export_vae(params: Dict, cfg, prefix: str = "") -> Dict:
+    m = _ExportMapper(params.get("params", params), prefix)
+    convert_vae(None, cfg, mapper=m)
+    m.assert_complete()
+    return m.out
+
+
+def convert_cond_encoder(sd: StateDict, prefix: str = "", mapper=None) -> Dict:
     """Video_Feat_Encoder_Posembed state dict → flax params."""
-    m = _Mapper(sd, prefix)
+    m = mapper or _Mapper(sd, prefix)
     m.dense("embedder", "embedder.0")
     m.take("pos_emb", "pos_emb.weight", _id)
     return {"params": m.tree}
 
 
+def export_cond_encoder(params: Dict, prefix: str = "") -> Dict:
+    m = _ExportMapper(params.get("params", params), prefix)
+    convert_cond_encoder(None, mapper=m)
+    m.assert_complete()
+    return m.out
+
+
+def export_ldm_state_dict(params: Dict, vae_params: Dict, unet_cfg, vae_cfg) -> Dict:
+    """Full LatentDiffusion composite export: the inverse of
+    split_ldm_state_dict + the three converters — lets a model trained here
+    be loaded by the reference torch code."""
+    out = {}
+    out.update(export_unet(params["unet"], unet_cfg, "model.diffusion_model."))
+    out.update(export_cond_encoder(params["cond"], "cond_stage_model."))
+    out.update(export_vae(vae_params, vae_cfg, "first_stage_model."))
+    return out
+
+
 def _conv3d(t) -> np.ndarray:
     # torch Conv3d (O, I, kT, kH, kW) → flax (kT, kH, kW, I, O)
     return _np(t).transpose(2, 3, 4, 1, 0)
+
+
+_INVERSE.update({_conv: _conv_inv, _dense: lambda a: np.asarray(a).T,
+                 _id: np.asarray, _conv3d: _conv3d_inv})
 
 
 class _BNMapper(_Mapper):
