@@ -56,7 +56,45 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--native-loader", action="store_true",
                    help="use the C++ shard reader")
+    p.add_argument("--val-shards", default=None,
+                   help="validation shards for retrieval R@k eval")
+    p.add_argument("--val-frequency", type=int, default=2,
+                   help="run retrieval eval every N epochs")
+    p.add_argument("--val-samples", type=int, default=64)
     return p.parse_args(argv)
+
+
+def run_retrieval_eval(model, state, shards, cfg, n_samples, iter_fn):
+    """Pooled-feature retrieval metrics over a validation stream
+    (train_wds_intra_contrast.py:234-376 evaluate/get_clip_metrics)."""
+    import jax.numpy as jnp
+
+    from ..train.losses import retrieval_metrics
+
+    encode = jax.jit(
+        lambda variables, v, s: (
+            model.apply(variables, v, method=lambda m, a: m.encode_video(
+                a, normalize=True, pool=True, train=False)),
+            model.apply(variables, s, method=lambda m, a: m.encode_spec(
+                a, normalize=True, pool=True, train=False)),
+        )
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    vs, ss = [], []
+    for sample in iter_fn(shards, seed=1234, epoch=0, cfg=cfg):
+        v, s = encode(
+            variables, jnp.asarray(sample["video"][:1]),
+            jnp.asarray(sample["spec"][:1]),
+        )
+        vs.append(np.asarray(v))
+        ss.append(np.asarray(s))
+        if len(vs) >= n_samples:
+            break
+    if len(vs) < 2:
+        return {}
+    m = retrieval_metrics(jnp.asarray(np.concatenate(vs)),
+                          jnp.asarray(np.concatenate(ss)))
+    return {k: float(v) for k, v in m.items()}
 
 
 def main(argv=None):
@@ -134,6 +172,16 @@ def main(argv=None):
                               f"loss={m['total_loss']:.4f}")
                     if args.steps_per_epoch and n_steps >= args.steps_per_epoch:
                         break
+            if args.val_shards and (epoch + 1) % args.val_frequency == 0:
+                vm = run_retrieval_eval(
+                    model, jax.device_get(state), expand_braces(args.val_shards),
+                    scfg, args.val_samples, iter_fn,
+                )
+                if vm:
+                    logger.log(int(state.step), vm, prefix="val/")
+                    print(f"epoch {epoch} retrieval: "
+                          f"v2s R@1={vm['video_to_spec_R@1']:.3f} "
+                          f"s2v R@1={vm['spec_to_video_R@1']:.3f}")
             if (epoch + 1) % args.save_every_epochs == 0:
                 mgr.save(int(state.step), jax.device_get(state))
     mgr.save(int(state.step), jax.device_get(state))
