@@ -43,6 +43,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import dataclasses
 
     from ..diffusion.latent_diffusion import LatentDiffusion, LDMConfig

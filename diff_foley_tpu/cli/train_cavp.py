@@ -99,6 +99,9 @@ def run_retrieval_eval(model, state, shards, cfg, n_samples, iter_fn):
 
 def main(argv=None):
     args = parse_args(argv)
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from ..data.cavp_shards import CAVPShardConfig, iter_shards
     from ..models.cavp import CAVPConfig, CAVPModel
     from ..parallel.mesh import make_mesh

@@ -34,6 +34,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from ..data.ldm_dataset import SpecFeatDataset
     from ..data.loader import PrefetchLoader
     from ..parallel.mesh import make_mesh

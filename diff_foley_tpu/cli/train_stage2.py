@@ -74,6 +74,9 @@ def build_ldm(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from ..data.ldm_dataset import LDMDataConfig, SpecFeatDataset
     from ..data.loader import PrefetchLoader
     from ..parallel.mesh import make_mesh
