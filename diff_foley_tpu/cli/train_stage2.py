@@ -158,9 +158,7 @@ def main(argv=None):
         while step < args.max_steps:
             for batch in loader.epoch(epoch):
                 batch = {
-                    "spec": jax.device_put(
-                        batch["spec"].transpose(0, 1, 2, 3), dsh
-                    ),
+                    "spec": jax.device_put(batch["spec"], dsh),
                     "video_feat": jax.device_put(batch["video_feat"], dsh),
                 }
                 state, metrics = step_fn(state, vae_params, batch, rng)

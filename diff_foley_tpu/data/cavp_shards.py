@@ -61,6 +61,17 @@ def sample_temporal_index(
     return starts
 
 
+def sample_rng(seed: int, epoch: int, key: str) -> np.random.Generator:
+    """Per-sample deterministic RNG: crop selection depends only on
+    (seed, epoch, sample key), not on arrival order — so the threaded native
+    reader and the sequential python reader produce identical crops."""
+    import zlib
+
+    return np.random.default_rng(
+        np.random.SeedSequence([seed, epoch, zlib.crc32(key.encode())])
+    )
+
+
 def decode_sample(
     spec_npy: bytes, video_jpg: bytes, rng: np.random.Generator,
     cfg: CAVPShardConfig = CAVPShardConfig(),
@@ -135,7 +146,10 @@ def iter_shards(
                         if len(pending[key]) == 2:
                             d = pending.pop(key)
                             buf.append(
-                                decode_sample(d["spec"], d["video"], rng, cfg)
+                                decode_sample(
+                                    d["spec"], d["video"],
+                                    sample_rng(seed, epoch, key), cfg,
+                                )
                             )
                             if len(buf) >= shuffle_buffer:
                                 i = int(rng.integers(0, len(buf)))

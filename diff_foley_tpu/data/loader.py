@@ -97,7 +97,10 @@ class PrefetchLoader:
                     bi, b = work_q.get_nowait()
                 except queue.Empty:
                     return
-                batch = self.collate([self.dataset[int(i)] for i in b])
+                try:
+                    batch = self.collate([self.dataset[int(i)] for i in b])
+                except Exception as e:  # propagate instead of hanging the consumer
+                    batch = e
                 with lock:
                     results[bi] = batch
                     while next_emit[0] in results:
@@ -112,7 +115,10 @@ class PrefetchLoader:
             t.start()
         try:
             for _ in range(len(batches)):
-                yield out_q.get()
+                item = out_q.get()
+                if isinstance(item, Exception):
+                    raise RuntimeError("dataset worker failed") from item
+                yield item
         finally:
             stop.set()
 

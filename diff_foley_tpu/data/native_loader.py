@@ -115,9 +115,10 @@ def iter_shards_native(
     process_count: int = 1,
     cfg=None,
     n_threads: int = 4,
+    shuffle_buffer: int = 256,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Native-IO version of data.cavp_shards.iter_shards (same output)."""
-    from .cavp_shards import CAVPShardConfig, decode_sample
+    from .cavp_shards import CAVPShardConfig, decode_sample, sample_rng
 
     cfg = cfg or CAVPShardConfig()
     rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
@@ -127,6 +128,17 @@ def iter_shards_native(
         for j, i in enumerate(order)
         if j % process_count == process_index
     ]
+    # per-sample rngs: crops are deterministic in (seed, epoch, key) even
+    # though C++ reader threads deliver samples in nondeterministic order;
+    # a small reservoir decorrelates emission order from tar order.
+    buf = []
     with NativeShardReader(mine, n_threads=n_threads) as reader:
         for key, spec_bytes, video_bytes in reader:
-            yield decode_sample(spec_bytes, video_bytes, rng, cfg)
+            buf.append(
+                decode_sample(spec_bytes, video_bytes,
+                              sample_rng(seed, epoch, key), cfg)
+            )
+            if len(buf) >= shuffle_buffer:
+                yield buf.pop(int(rng.integers(0, len(buf))))
+    rng.shuffle(buf)
+    yield from buf

@@ -208,10 +208,17 @@ def dpm_solver_sample(
     h1 = tb.lam[1] - tb.lam[0]
     x = (tb.sigma[1] / tb.sigma[0]) * x_T - tb.alpha[1] * jnp.expm1(-h1) * m0
 
-    # ---- scan: second-order multistep updates t_i → t_{i+1}, i = 1..steps-1
+    # ---- scan: second-order multistep updates t_i → t_{i+1}, i = 1..steps-1.
+    # lower_order_final (dpm_solver.py:1094): for steps < 15 the final update
+    # drops to first order (the D1_0 correction is zeroed).
     idx = jnp.arange(1, steps)
+    order2 = np.ones(steps - 1, np.float32)
+    if steps < 15:
+        order2[-1] = 0.0
+    order2 = jnp.asarray(order2)
 
-    def step(carry, i):
+    def step(carry, per):
+        i, o2 = per
         x, m_prev1 = carry
         m_prev0 = model_x0(x, i)
         lam_p1, lam_p0, lam_t = tb.lam[i - 1], tb.lam[i], tb.lam[i + 1]
@@ -223,11 +230,11 @@ def dpm_solver_sample(
         x_new = (
             (tb.sigma[i + 1] / tb.sigma[i]) * x
             - tb.alpha[i + 1] * phi * m_prev0
-            - 0.5 * tb.alpha[i + 1] * phi * D1_0
+            - o2 * 0.5 * tb.alpha[i + 1] * phi * D1_0
         )
         return (x_new, m_prev0), None
 
-    (x, _), _ = jax.lax.scan(step, (x, m0), idx)
+    (x, _), _ = jax.lax.scan(step, (x, m0), (idx, order2))
     return x
 
 

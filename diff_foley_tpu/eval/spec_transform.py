@@ -15,7 +15,6 @@ this metric path).
 from __future__ import annotations
 
 import numpy as np
-import scipy.signal
 
 from ..ops.mel import _mel_filterbank_np
 
@@ -33,6 +32,8 @@ def _transform(
     spec: np.ndarray, origin_n_mels: int, origin_sr: int,
     new_n_mels: int, new_sr: int, n_fft: int = 1024,
 ) -> np.ndarray:
+    import scipy.signal  # lazy: scipy is a test/eval extra, not a base dep
+
     linear = _denorm(spec)
     g = np.gcd(new_sr, origin_sr)
     linear = scipy.signal.resample_poly(

@@ -161,8 +161,29 @@ class DiffusionPrior:
         (forward_with_cond_scale + NoiseScheduler p_forward)."""
         cfg = self.cfg
         b = video_embed.shape[0]
-        stride = cfg.num_timesteps // steps
+        stride = max(cfg.num_timesteps // steps, 1)
         ts = np.arange(0, cfg.num_timesteps, stride)[::-1].copy()
+        ts_prev = np.concatenate([ts[1:], [-1]])  # -1 → x0 (ᾱ = 1)
+
+        # generalised posterior q(x_s | x_t, x0) for strided jumps t→s:
+        # with α_eff = ᾱ_t/ᾱ_s, coefficients follow the DDPM posterior form.
+        ac = np.asarray(self.schedule.alphas_cumprod, np.float64)
+        a_t = ac[ts]
+        a_s = np.where(ts_prev >= 0, ac[np.maximum(ts_prev, 0)], 1.0)
+        alpha_eff = a_t / a_s
+        beta_eff = 1.0 - alpha_eff
+        coef_x0 = np.sqrt(a_s) * beta_eff / (1.0 - a_t)
+        coef_xt = np.sqrt(alpha_eff) * (1.0 - a_s) / (1.0 - a_t)
+        var = beta_eff * (1.0 - a_s) / (1.0 - a_t)
+        sigma = np.sqrt(np.maximum(var, 0.0))
+        sigma[-1] = 0.0  # final jump to x0 is deterministic
+
+        tbl = dict(
+            t=jnp.asarray(ts, jnp.float32),
+            c0=jnp.asarray(coef_x0, jnp.float32),
+            ct=jnp.asarray(coef_xt, jnp.float32),
+            sig=jnp.asarray(sigma, jnp.float32),
+        )
 
         k_init, k_loop = jax.random.split(key)
         x = jax.random.normal(
@@ -180,15 +201,12 @@ class DiffusionPrior:
             return null + (cond - null) * cond_scale
 
         def step(x, per):
-            t_scalar, k = per
-            t_vec = jnp.full((b,), t_scalar, jnp.float32)
+            c, k = per
+            t_vec = jnp.full((b,), c["t"], jnp.float32)
             x0 = self._maybe_clamp(x0_pred(x, t_vec))
-            t_int = jnp.full((b,), t_scalar, jnp.int32)
-            mean, _, log_var = self.schedule.q_posterior(x0, x, t_int)
             noise = jax.random.normal(k, x.shape, x.dtype)
-            nonzero = (t_scalar > 0).astype(x.dtype)
-            x_new = mean + nonzero * jnp.exp(0.5 * log_var) * noise
+            x_new = c["c0"] * x0 + c["ct"] * x + c["sig"] * noise
             return x_new, None
 
-        x, _ = jax.lax.scan(step, x, (jnp.asarray(ts, jnp.float32), keys))
+        x, _ = jax.lax.scan(step, x, (tbl, keys))
         return x

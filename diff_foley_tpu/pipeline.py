@@ -70,14 +70,15 @@ class DiffFoleyPipeline:
         w, f, d = feats_w.shape
         s = gen.sample_num
         cond = jnp.repeat(feats_w, s, axis=0)  # (w*s, f, d)
+        use_clf = gen.classifier_scale > 0 and self.classifier is not None
         z = self.ldm.sample(
             params, cond, key,
             latent_hw=LATENT_HW,
             sampler=gen.sampler,
             steps=gen.steps,
             cfg_scale=gen.cfg_scale,
-            classifier=self.classifier if gen.classifier_scale > 0 else None,
-            classifier_scale=gen.classifier_scale,
+            classifier=self.classifier if use_clf else None,
+            classifier_scale=gen.classifier_scale if use_clf else 0.0,
         )
         spec_img = self.ldm.decode_first_stage(vae_params, z)  # (w*s,128,512,3)
         return jnp.clip(spec_img[..., 0], 0.0, 1.0)

@@ -90,12 +90,21 @@ class BatchingEngine:
                 n_windows += nxt.feats.shape[0]
             self._run(batch)
 
+    @staticmethod
+    def _bucket(n: int, max_windows: int) -> int:
+        """Smallest power-of-two bucket ≥ n (capped): small requests don't
+        pay the full max-batch diffusion cost, and each bucket compiles once."""
+        b = 1
+        while b < n and b < max_windows:
+            b *= 2
+        return min(b, max(max_windows, n))
+
     def _run(self, batch: List[_Request]):
         try:
             feats = np.concatenate([r.feats for r in batch], axis=0)
-            # pad windows to the bucket size for a stable compiled shape
-            pad = self.max_windows - feats.shape[0] % self.max_windows
-            if pad != self.max_windows:
+            bucket = self._bucket(feats.shape[0], self.max_windows)
+            pad = bucket - feats.shape[0] % bucket
+            if pad != bucket:
                 feats = np.concatenate(
                     [feats, np.zeros((pad, *feats.shape[1:]), np.float32)]
                 )

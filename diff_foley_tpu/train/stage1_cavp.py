@@ -132,9 +132,9 @@ def make_train_step(model: CAVPModel, cfg: Stage1TrainConfig,
         )(state.params, state.batch_stats, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        # clamp logit_scale to ln(100) (train_wds_intra_contrast.py:177-178)
+        # clamp logit_scale to [0, ln(100)] (train_wds_intra_contrast.py:178)
         params = dict(params)
-        params["logit_scale"] = jnp.clip(params["logit_scale"], None, LOG_100)
+        params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0, LOG_100)
         metrics = {k: v for k, v in losses.items()}
         metrics["logit_scale"] = jnp.exp(params["logit_scale"])
         metrics["grad_norm"] = optax.global_norm(grads)
