@@ -32,6 +32,7 @@ from .layers import (
     ResBlock,
     TimestepEmbedMLP,
     Upsample,
+    conv1x1,
     conv3x3,
     silu,
 )
@@ -144,6 +145,78 @@ class UNetModel(nn.Module):
         h = silu(h)
         h = conv3x3(cfg.out_channels, zero_init=True, name="out_conv")(h)
         return h.astype(jnp.float32)
+
+
+class EncoderUNetModel(nn.Module):
+    """Generic half-UNet encoder with a pooled head (openai_unetmodel.py:745-959).
+
+    pool: 'adaptive' — GN→SiLU→global avg→zero 1×1 conv;
+          'spatial'  — spatial means of every hidden state concatenated →
+                       Dense(2048)→ReLU→Dense(out);
+          'spatial_v2' — same with GN32+SiLU between the denses.
+    (The shipped classifier uses the dedicated :class:`ClassifierBackbone`;
+    this is the guided-diffusion-style generic variant, no cross-attention.)
+    """
+
+    cfg: UNetConfig = CLASSIFIER_BACKBONE
+    pool: str = "adaptive"
+
+    @nn.compact
+    def __call__(self, x, timesteps, deterministic: bool = True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        t_emb = timestep_embedding(timesteps, cfg.model_channels)
+        emb = TimestepEmbedMLP(4 * cfg.model_channels, name="time_embed")(t_emb)
+        emb = emb.astype(dt)
+        h = x.astype(dt)
+
+        results = []
+        h = conv3x3(cfg.model_channels, name="in_conv")(h)
+        if self.pool.startswith("spatial"):
+            results.append(h.mean(axis=(1, 2)))
+        ds = 1
+        for level, mult in enumerate(cfg.channel_mult):
+            ch = mult * cfg.model_channels
+            for i in range(cfg.num_res_blocks):
+                h = ResBlock(ch, cfg.dropout, name=f"down_{level}_{i}_res")(
+                    h, emb, deterministic
+                )
+                if ds in cfg.attention_resolutions:
+                    h = SpatialTransformer(
+                        heads=cfg.num_heads, dim_head=ch // cfg.num_heads,
+                        depth=cfg.transformer_depth, name=f"down_{level}_{i}_attn",
+                    )(h, None, deterministic)
+                if self.pool.startswith("spatial"):
+                    results.append(h.mean(axis=(1, 2)))
+            if level != len(cfg.channel_mult) - 1:
+                h = Downsample(ch, name=f"down_{level}_ds")(h)
+                if self.pool.startswith("spatial"):
+                    results.append(h.mean(axis=(1, 2)))
+                ds *= 2
+
+        ch = cfg.channel_mult[-1] * cfg.model_channels
+        h = ResBlock(ch, cfg.dropout, name="mid_res1")(h, emb, deterministic)
+        h = ResBlock(ch, cfg.dropout, name="mid_res2")(h, emb, deterministic)
+
+        if self.pool.startswith("spatial"):
+            results.append(h.mean(axis=(1, 2)).astype(jnp.float32))
+            feats = jnp.concatenate(
+                [r.astype(jnp.float32) for r in results], axis=-1
+            )
+            feats = nn.Dense(2048, name="head_fc1")(feats)
+            if self.pool == "spatial_v2":
+                feats = GroupNorm32(name="head_norm")(feats[:, None, None, :])
+                feats = silu(feats)[:, 0, 0, :]
+            else:
+                feats = nn.relu(feats)
+            return nn.Dense(cfg.out_channels, name="head_fc2")(feats)
+
+        # 'adaptive'
+        h = GroupNorm32(name="out_norm")(h)
+        h = silu(h)
+        h = h.mean(axis=(1, 2))[:, None, None, :]
+        h = conv1x1(cfg.out_channels, zero_init=True, name="out_conv")(h)
+        return h[:, 0, 0, :].astype(jnp.float32)
 
 
 class ClassifierBackbone(nn.Module):
