@@ -39,13 +39,14 @@ class Stage2TrainConfig:
     grad_clip: Optional[float] = None
     weight_decay: float = 0.01      # torch AdamW default
     accum_steps: int = 1            # reference --accum-freq equivalent
+    mu_dtype: Optional[str] = None  # "bfloat16" halves Adam first-moment HBM
 
 
 def make_optimizer(cfg: Stage2TrainConfig) -> optax.GradientTransformation:
     sched = lambda_linear(cfg.base_lr, cfg.warmup_steps)
     tx = optax.adamw(
         learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
-        weight_decay=cfg.weight_decay,
+        weight_decay=cfg.weight_decay, mu_dtype=cfg.mu_dtype,
     )
     if cfg.grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
