@@ -147,12 +147,45 @@ class UNetModel(nn.Module):
         return h.astype(jnp.float32)
 
 
+class AttentionPool2d(nn.Module):
+    """CLIP-style attention pooling (openai_unetmodel.py AttentionPool2d):
+    tokens = [mean | spatial], learned positional embedding, one multi-head
+    attention with the mean token as the query, projected to out_dim."""
+
+    num_heads: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.attention import multi_head_attention
+
+        b, h, w, c = x.shape
+        tokens = x.reshape(b, h * w, c)
+        tokens = jnp.concatenate(
+            [tokens.mean(axis=1, keepdims=True), tokens], axis=1
+        )
+        pos = self.param(
+            "pos_emb", nn.initializers.normal(c**-0.5), (h * w + 1, c)
+        )
+        tokens = tokens + pos[None]
+        qkv = nn.Dense(3 * c, name="qkv")(tokens)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        dh = c // self.num_heads
+        split = lambda a: a.reshape(b, -1, self.num_heads, dh).transpose(0, 2, 1, 3)
+        out = multi_head_attention(
+            split(q[:, :1]), split(k), split(v), scale=dh**-0.5
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, 1, c)[:, 0]
+        return nn.Dense(self.out_dim, name="proj")(out)
+
+
 class EncoderUNetModel(nn.Module):
     """Generic half-UNet encoder with a pooled head (openai_unetmodel.py:745-959).
 
-    pool: 'adaptive' — GN→SiLU→global avg→zero 1×1 conv;
-          'spatial'  — spatial means of every hidden state concatenated →
-                       Dense(2048)→ReLU→Dense(out);
+    pool: 'adaptive'  — GN→SiLU→global avg→zero 1×1 conv;
+          'attention' — GN→SiLU→CLIP-style AttentionPool2d;
+          'spatial'   — spatial means of every hidden state concatenated →
+                        Dense(2048)→ReLU→Dense(out);
           'spatial_v2' — same with GN32+SiLU between the denses.
     (The shipped classifier uses the dedicated :class:`ClassifierBackbone`;
     this is the guided-diffusion-style generic variant, no cross-attention.)
@@ -211,9 +244,13 @@ class EncoderUNetModel(nn.Module):
                 feats = nn.relu(feats)
             return nn.Dense(cfg.out_channels, name="head_fc2")(feats)
 
-        # 'adaptive'
         h = GroupNorm32(name="out_norm")(h)
         h = silu(h)
+        if self.pool == "attention":
+            return AttentionPool2d(
+                cfg.num_heads, cfg.out_channels, name="attn_pool"
+            )(h.astype(jnp.float32))
+        # 'adaptive'
         h = h.mean(axis=(1, 2))[:, None, None, :]
         h = conv1x1(cfg.out_channels, zero_init=True, name="out_conv")(h)
         return h[:, 0, 0, :].astype(jnp.float32)

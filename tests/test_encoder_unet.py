@@ -13,7 +13,7 @@ CFG = UNetConfig(
 )
 
 
-@pytest.mark.parametrize("pool", ["adaptive", "spatial", "spatial_v2"])
+@pytest.mark.parametrize("pool", ["adaptive", "attention", "spatial", "spatial_v2"])
 def test_encoder_unet_pools(pool):
     m = EncoderUNetModel(CFG, pool=pool)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32, 4))
