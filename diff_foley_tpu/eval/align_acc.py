@@ -6,28 +6,40 @@ latent with the frozen VAE (×0.18215), encode the ground-truth CAVP
 features, run the alignment classifier at **t=0**, round the sigmoid output
 and compare to all-ones labels.
 
-Functional + batched; shard the batch over the `data` mesh axis for the
-reference's DDP-eval equivalent.
+Functional + batched. Pass a `jax.sharding.Mesh` with a `data` axis to shard
+each eval batch over devices — the TPU equivalent of the reference's optional
+NCCL-DDP eval (`align_acc.py:137`, DistributedSampler `:56`): inputs are laid
+out `P("data")`, GSPMD partitions the encoder/classifier, and the final
+correct/total sums are global (XLA inserts the all-reduce). Ragged last
+batches are padded and masked out rather than dropped.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Iterator
+from typing import Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def make_align_acc_fn(classifier_trainer, vae, vae_params, scale_factor=0.18215):
-    """Returns a jit'd fn(params, spec_batch, feat_batch) → (correct, total).
+def make_align_acc_fn(
+    classifier_trainer,
+    vae,
+    vae_params,
+    scale_factor: float = 0.18215,
+    mesh=None,
+):
+    """Returns a jit'd fn(params, spec, feat, valid) → (correct, total).
 
-    spec_batch: (B, 128, T, 3) NHWC generated mel images (T ≥ 512 is
-    truncated to 512 like evaluation/dataset.py:100-101).
+    spec: (B, 128, T, 3) NHWC generated mel images (T ≥ 512 is truncated to
+    512 like evaluation/dataset.py:100-101). valid: (B,) {0,1} mask so padded
+    rows (ragged last batch under sharding) don't count.
+
+    With `mesh`, spec/feat/valid are consumed sharded over the `data` axis
+    and the returned scalars are replicated.
     """
 
-    @jax.jit
-    def fn(params, spec, feat):
+    def fn(params, spec, feat, valid):
         spec = spec[:, :, :512, :]
         z = vae.apply(
             vae_params, spec, method=lambda m, a: m.encode(a).mode()
@@ -35,10 +47,33 @@ def make_align_acc_fn(classifier_trainer, vae, vae_params, scale_factor=0.18215)
         z = scale_factor * z
         t = jnp.zeros((spec.shape[0],), jnp.float32)  # t=0 (align_acc.py:83)
         p = classifier_trainer.apply(params, z, t, feat)
-        correct = jnp.sum(jnp.round(p[:, 0]) == 1)
-        return correct, spec.shape[0]
+        hit = (jnp.round(p[:, 0]) == 1).astype(jnp.int32) * valid
+        return jnp.sum(hit), jnp.sum(valid)
 
-    return fn
+    if mesh is None:
+        return jax.jit(fn)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        fn,
+        in_shardings=(
+            repl,
+            NamedSharding(mesh, P("data", None, None, None)),
+            NamedSharding(mesh, P("data", None, None)),
+            row,
+        ),
+        out_shardings=(repl, repl),
+    )
+
+
+def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
+    if x.shape[0] == n:
+        return x
+    pad = np.repeat(x[-1:], n - x.shape[0], axis=0)
+    return np.concatenate([x, pad], axis=0)
 
 
 def alignment_accuracy(
@@ -47,12 +82,29 @@ def alignment_accuracy(
     classifier_params,
     vae,
     vae_params,
+    mesh=None,
 ) -> float:
-    """Stream batches {'spec', 'video_feat'} → overall accuracy."""
-    fn = make_align_acc_fn(classifier_trainer, vae, vae_params)
+    """Stream batches {'spec', 'video_feat'} → overall accuracy.
+
+    With `mesh`, each batch is padded to a multiple of the `data` axis size
+    and sharded across devices (padding masked out of the counts).
+    """
+    fn = make_align_acc_fn(classifier_trainer, vae, vae_params, mesh=mesh)
+    n_data = 1 if mesh is None else mesh.shape["data"]
     correct = total = 0
     for b in batches:
-        c, n = fn(classifier_params, jnp.asarray(b["spec"]), jnp.asarray(b["video_feat"]))
+        spec = np.asarray(b["spec"])
+        feat = np.asarray(b["video_feat"])
+        n = spec.shape[0]
+        m = -(-n // n_data) * n_data  # round up to a shardable batch
+        valid = np.zeros((m,), np.int32)
+        valid[:n] = 1
+        c, t = fn(
+            classifier_params,
+            jnp.asarray(_pad_to(spec, m)),
+            jnp.asarray(_pad_to(feat, m)),
+            jnp.asarray(valid),
+        )
         correct += int(c)
-        total += int(n)
+        total += int(t)
     return correct / max(total, 1)
