@@ -32,7 +32,8 @@ from .video.ingest import extract_cavp_features
 class DiffFoley:
     def __init__(self, ldm: LatentDiffusion, params, vae_params,
                  cavp: CAVPModel, cavp_variables, classifier=None,
-                 bf16: bool = True):
+                 bf16: bool = True, frame_size: int = 224):
+        self.frame_size = frame_size
         if bf16:
             ldm = LatentDiffusion(dataclasses.replace(
                 ldm.cfg, unet=dataclasses.replace(ldm.cfg.unet, dtype="bfloat16")
@@ -79,6 +80,7 @@ class DiffFoley:
         return extract_cavp_features(
             video_path, self._encode, self.cavp_variables,
             start_second=start_second, truncate_second=truncate_second,
+            size=self.frame_size,
         )
 
     def generate_for_video(

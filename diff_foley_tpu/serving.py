@@ -7,8 +7,10 @@ Beyond-reference capability (the reference ships only a notebook). Design:
 - A batcher thread collects requests up to `max_batch_windows` or
   `max_wait_ms`, runs them as one device batch, and fans results back out.
 - `FoleyServer` wraps it in a stdlib ThreadingHTTPServer:
-    POST /generate     body: {"features": [[...512 floats...], ...] }  (T×512)
-                       or multipart video upload (decoded host-side)
+    POST /generate        body: {"features": [[...512 floats...], ...]} (T×512)
+    POST /generate_video  body: raw video bytes (decoded host-side via cv2 →
+                          CAVP features); 501 unless the server was built
+                          with a `feature_fn`
     GET  /healthz
 """
 from __future__ import annotations
@@ -133,7 +135,10 @@ class BatchingEngine:
 class FoleyServer:
     """Stdlib HTTP front-end for the batching engine."""
 
-    def __init__(self, engine: BatchingEngine, host="127.0.0.1", port=8787):
+    def __init__(self, engine: BatchingEngine, host="127.0.0.1", port=8787,
+                 feature_fn=None):
+        """`feature_fn(video_path) -> (T, 512) np.ndarray` enables the
+        /generate_video route (e.g. `DiffFoley.extract_features`)."""
         self.engine = engine
         eng = engine
 
@@ -148,17 +153,34 @@ class FoleyServer:
                     self._send(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/generate":
-                    self._send(404, {"error": "not found"})
-                    return
                 try:
-                    n = int(self.headers.get("Content-Length", 0))
-                    payload = json.loads(self.rfile.read(n))
-                    feats = np.asarray(payload["features"], np.float32)
-                    if feats.ndim != 2 or feats.shape[1] != 512:
-                        raise ValueError(
-                            f"features must be (T, 512), got {feats.shape}"
-                        )
+                    if self.path == "/generate":
+                        n = int(self.headers.get("Content-Length", 0))
+                        payload = json.loads(self.rfile.read(n))
+                        feats = np.asarray(payload["features"], np.float32)
+                        if feats.ndim != 2 or feats.shape[1] != 512:
+                            raise ValueError(
+                                f"features must be (T, 512), got {feats.shape}"
+                            )
+                    elif self.path == "/generate_video":
+                        if feature_fn is None:
+                            self._send(
+                                501,
+                                {"error": "server built without a feature_fn"},
+                            )
+                            return
+                        n = int(self.headers.get("Content-Length", 0))
+                        import tempfile
+
+                        with tempfile.NamedTemporaryFile(
+                            suffix=".mp4"
+                        ) as tmp:
+                            tmp.write(self.rfile.read(n))
+                            tmp.flush()
+                            feats = np.asarray(feature_fn(tmp.name), np.float32)
+                    else:
+                        self._send(404, {"error": "not found"})
+                        return
                     wav = eng.submit(feats)
                     self._send(200, {
                         "sr": 16000,

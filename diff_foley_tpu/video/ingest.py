@@ -76,15 +76,16 @@ def extract_cavp_features(
     batch_size: int = 40,
     start_second: float = 0.0,
     truncate_second: Optional[float] = None,
+    size: int = 224,
 ) -> np.ndarray:
     """Video file → (T, 512) L2-normalised per-frame CAVP features.
 
     `cavp_apply_fn(variables, video_batch)` must run
     CAVPModel.encode_video(pool=False, normalize=True) on a
-    (1, T, 224, 224, 3) batch (demo_util.py:124-173 semantics: batches of
-    `batch_size` frames, ragged tail included).
+    (1, T, size, size, 3) batch (demo_util.py:124-173 semantics: batches of
+    `batch_size` frames, ragged tail included; size=224 in the reference).
     """
-    frames = extract_frames(video_path, fps, 224, start_second, truncate_second)
+    frames = extract_frames(video_path, fps, size, start_second, truncate_second)
     feats = []
     for i in range(0, len(frames), batch_size):
         chunk = frames[i : i + batch_size][None]  # (1, t, 224, 224, 3)
