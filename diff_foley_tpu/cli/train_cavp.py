@@ -49,6 +49,12 @@ def parse_args(argv=None):
     p.add_argument("--steps-per-epoch", type=int, default=0, help="0 = full shards")
     p.add_argument("--intra-weight", type=float, default=1.0)
     p.add_argument("--embed-dim", type=int, default=512)
+    p.add_argument("--video-encode", default="slowonly",
+                   choices=["slowonly", "x3d", "i3d", "r2plus1d"],
+                   help="video tower (reference --video_encode)")
+    p.add_argument("--spec-encode", default="cnn14",
+                   choices=["cnn14", "resnet50", "spec_vit", "spec_vit_mean"],
+                   help="audio tower (reference --spec_encode)")
     p.add_argument("--logdir", default="./logs/cavp")
     p.add_argument("--save-every-epochs", type=int, default=3)
     p.add_argument("--log-every", type=int, default=20)
@@ -115,7 +121,11 @@ def main(argv=None):
     print(f"{len(shards)} shards")
     scfg = CAVPShardConfig(clip_num=args.clip_num, shift_lb=args.shift_lb)
 
-    model = CAVPModel(CAVPConfig(embed_dim=args.embed_dim))
+    model = CAVPModel(CAVPConfig(
+        embed_dim=args.embed_dim,
+        video_arch=args.video_encode,
+        spec_arch=args.spec_encode,
+    ))
     tcfg = Stage1TrainConfig(
         lr=args.lr, warmup_steps=args.warmup, clip_num=args.clip_num,
         intra_weight=args.intra_weight,

@@ -29,8 +29,16 @@ from .slowonly import ResNet3dSlowOnly
 
 @dataclasses.dataclass(frozen=True)
 class CAVPConfig:
+    """`video_arch`/`spec_arch` mirror the reference's factory-selectable
+    --video_encode/--spec_encode towers (model.py:490-810, params.py:477-491):
+    video ∈ {slowonly, x3d, i3d, r2plus1d}, spec ∈ {cnn14, resnet50,
+    spec_vit, spec_vit_mean}. The shipped Diff-Foley config is
+    (slowonly, cnn14)."""
+
     embed_dim: int = 512
     pool_kernel: int = 16
+    video_arch: str = "slowonly"
+    spec_arch: str = "cnn14"
     axis_name: Optional[str] = None  # set to "data" for SyncBN-style stats
 
 
@@ -49,11 +57,53 @@ class CAVPModel(nn.Module):
     cfg: CAVPConfig = CAVPConfig()
 
     def setup(self):
-        self.video_encoder = ResNet3dSlowOnly(axis_name=self.cfg.axis_name)
-        self.video_project_head = nn.Dense(self.cfg.embed_dim)
-        self.spec_encoder = Cnn14(
-            embed_dim=self.cfg.embed_dim, axis_name=self.cfg.axis_name
-        )
+        cfg = self.cfg
+        if cfg.video_arch == "slowonly":
+            self.video_encoder = ResNet3dSlowOnly(axis_name=cfg.axis_name)
+            self.video_project_head = nn.Dense(cfg.embed_dim)
+        elif cfg.video_arch == "x3d":
+            from .x3d import X3D, X3DConfig
+
+            self.video_encoder = X3D(
+                X3DConfig(out_dim=cfg.embed_dim), axis_name=cfg.axis_name
+            )
+        elif cfg.video_arch == "i3d":
+            from .x3d import I3DConfig, I3DResNet
+
+            self.video_encoder = I3DResNet(
+                I3DConfig(out_dim=cfg.embed_dim), axis_name=cfg.axis_name
+            )
+        elif cfg.video_arch == "r2plus1d":
+            from .r2plus1d import R2Plus1dConfig, ResNet2Plus1d
+
+            self.video_encoder = ResNet2Plus1d(
+                R2Plus1dConfig(out_dim=cfg.embed_dim), axis_name=cfg.axis_name
+            )
+        else:
+            raise ValueError(f"unknown video_arch {cfg.video_arch!r}")
+
+        if cfg.spec_arch == "cnn14":
+            self.spec_encoder = Cnn14(
+                embed_dim=cfg.embed_dim, axis_name=cfg.axis_name
+            )
+        elif cfg.spec_arch == "resnet50":
+            from .spec_towers import SpecResNet50
+
+            self.spec_encoder = SpecResNet50(axis_name=cfg.axis_name)
+            self.spec_project_head = nn.Dense(cfg.embed_dim)
+        elif cfg.spec_arch == "spec_vit":
+            from .spec_towers import SpecViT
+
+            self.spec_encoder = SpecViT()
+            self.spec_project_head = nn.Dense(cfg.embed_dim)
+        elif cfg.spec_arch == "spec_vit_mean":
+            from .spec_towers import SpecViTMean
+
+            self.spec_encoder = SpecViTMean()
+            self.spec_project_head = nn.Dense(cfg.embed_dim)
+        else:
+            raise ValueError(f"unknown spec_arch {cfg.spec_arch!r}")
+
         self.logit_scale = self.param(
             "logit_scale",
             lambda key: jnp.asarray(np.log(1.0 / 0.07), jnp.float32),
@@ -64,8 +114,10 @@ class CAVPModel(nn.Module):
         train: bool = False,
     ):
         """(B, T, H, W, 3) → (B, 512) pooled or (B, T, 512) per-frame."""
-        feat = self.video_encoder(video, train=train)          # (B, T, 2048)
-        feat = self.video_project_head(feat)                   # (B, T, 512)
+        feat = self.video_encoder(video, train=train)
+        if self.cfg.video_arch == "slowonly":  # (B, T, 2048) → project
+            feat = self.video_project_head(feat)
+        # x3d / i3d / r2plus1d towers project internally → (B, 16, embed)
         if pool:
             feat = _max_pool_time(feat, self.cfg.pool_kernel)
             feat = feat.squeeze(1) if feat.shape[1] == 1 else feat
@@ -77,9 +129,28 @@ class CAVPModel(nn.Module):
         self, spec, normalize: bool = False, pool: bool = True,
         train: bool = False,
     ):
-        """(B, n_mels, T) → (B, 512) pooled or (B, T/16, 512) per-step."""
-        x = spec.transpose(0, 2, 1)[..., None]                 # (B, T, M, 1)
-        feat = self.spec_encoder(x, train=train)               # (B, T/16, 512)
+        """(B, n_mels, T) → (B, 512) pooled or (B, T', 512) per-step."""
+        arch = self.cfg.spec_arch
+        if arch == "cnn14":
+            x = spec.transpose(0, 2, 1)[..., None]             # (B, T, M, 1)
+            feat = self.spec_encoder(x, train=train)           # (B, T/16, 512)
+        elif arch == "resnet50":
+            x = spec[..., None]                                # (B, M, T, 1)
+            feat = self.spec_encoder(x, train=train)           # (B, T', 2048)
+            feat = self.spec_project_head(feat)
+        elif arch == "spec_vit":
+            pooled, tokens = self.spec_encoder(spec)
+            feat = self.spec_project_head(pooled if pool else tokens)
+            if normalize:
+                feat = _l2norm(feat)
+            return feat
+        else:  # spec_vit_mean: per-token, mean-pooled clip feature
+            feat = self.spec_project_head(self.spec_encoder(spec))
+            if pool:
+                feat = feat.mean(axis=1)
+            if normalize:
+                feat = _l2norm(feat)
+            return feat
         if pool:
             feat = _max_pool_time(feat, self.cfg.pool_kernel)
             feat = feat.squeeze(1) if feat.shape[1] == 1 else feat

@@ -594,3 +594,163 @@ def load_torch_state_dict(path: str) -> Dict:
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     return {k[len("module.") :] if k.startswith("module.") else k: v for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# Alternate CAVP encoder converters (factory towers, model.py:490-620)
+# ---------------------------------------------------------------------------
+
+def _conv1d(t) -> np.ndarray:  # torch (O, I, k) → flax (k, I, O)
+    return _np(t).transpose(2, 1, 0)
+
+
+def convert_x3d(sd: StateDict, prefix: str = "",
+                base_blocks=(1, 2, 5, 3), depth_factor: float = 5.0) -> Dict:
+    """PySlowFast X3D state dict → flax variables for cavp.x3d.X3D.
+
+    Key layout: `open_clip/x3d.py:1504-1646` (s1.pathway0_stem.{conv_xy,conv,
+    bn}, s{2..5}.pathway0_res{i}.branch2.{a,b,c,*_bn,se}, branch1(+_bn) on the
+    first block, head.{conv_5,conv_5_bn,lin_5,projection}).
+    """
+    import math
+
+    m = _BNMapper(sd, prefix)
+    m.conv3d("s1/conv_xy", "s1.pathway0_stem.conv_xy")
+    m.conv3d("s1/conv", "s1.pathway0_stem.conv")
+    m.bn("s1/norm/bn", "s1.pathway0_stem.bn")
+    for stage, base_n in enumerate(base_blocks, start=2):
+        n_rep = int(math.ceil(depth_factor * base_n))
+        for i in range(n_rep):
+            my = f"s{stage}_b{i}"
+            tk = f"s{stage}.pathway0_res{i}.branch2"
+            for c in ("a", "b", "c"):
+                m.conv3d(f"{my}/{c}", f"{tk}.{c}")
+                m.bn(f"{my}/{c}_bn/bn", f"{tk}.{c}_bn")
+            if (i + 1) % 2 == 1:  # SE on even block idx (x3d.py:624)
+                for fc in ("fc1", "fc2"):
+                    m.conv3d(f"{my}/se/{fc}", f"{tk}.se.{fc}")
+                    m.take(f"{my}/se/{fc}/bias", f"{tk}.se.{fc}.bias", _id)
+            if i == 0:
+                m.conv3d(f"{my}/branch1", f"s{stage}.pathway0_res{i}.branch1")
+                m.bn(f"{my}/branch1_bn/bn",
+                     f"s{stage}.pathway0_res{i}.branch1_bn")
+    m.conv3d("conv_5", "head.conv_5")
+    m.bn("conv_5_bn/bn", "head.conv_5_bn")
+    # lin_5: 1×1×1 conv used as a Dense after pooling
+    w = _np(sd[prefix + "head.lin_5.weight"])  # (O, I, 1, 1, 1)
+    _set(m.tree, "lin_5/kernel", w.reshape(w.shape[0], w.shape[1]).T)
+    m.dense("projection", "head.projection")
+    return m.result()
+
+
+def convert_i3d(sd: StateDict, prefix: str = "",
+                stage_blocks=(3, 4, 6, 3)) -> Dict:
+    """PySlowFast I3D ResNet state dict → flax variables for cavp.x3d.I3DResNet.
+
+    Key layout: `open_clip/x3d.py:1862-2073` (s1.pathway0_stem.{conv,bn},
+    s{2..5}.pathway0_res{i}.branch2.*, head.projection).
+    """
+    m = _BNMapper(sd, prefix)
+    m.conv3d("stem_conv", "s1.pathway0_stem.conv")
+    m.bn("stem_bn/bn", "s1.pathway0_stem.bn")
+    for stage, blocks in enumerate(stage_blocks, start=2):
+        for i in range(blocks):
+            my = f"s{stage}_b{i}"
+            tk = f"s{stage}.pathway0_res{i}.branch2"
+            for c in ("a", "b", "c"):
+                m.conv3d(f"{my}/{c}", f"{tk}.{c}")
+                m.bn(f"{my}/{c}_bn/bn", f"{tk}.{c}_bn")
+            if i == 0:
+                m.conv3d(f"{my}/branch1", f"s{stage}.pathway0_res{i}.branch1")
+                m.bn(f"{my}/branch1_bn/bn",
+                     f"s{stage}.pathway0_res{i}.branch1_bn")
+    m.dense("projection", "head.projection")
+    return m.result()
+
+
+def convert_r2plus1d(sd: StateDict, prefix: str = "",
+                     stage_blocks=(3, 4, 6, 3)) -> Dict:
+    """mmaction ResNet2Plus1d(-34) state dict → flax variables for
+    cavp.r2plus1d.ResNet2Plus1d.
+
+    Key layout: `open_clip/resnet2plus1d.py:1212-1277` (conv1.conv.{conv_s,
+    bn_s,conv_t} + conv1.bn, layer{1..4}.{i}.conv{1,2}/downsample with the
+    same factorised-conv nesting, project).
+    """
+    m = _BNMapper(sd, prefix)
+
+    def convmod(my: str, torch: str) -> None:
+        m.conv3d(f"{my}/conv/conv_s", f"{torch}.conv.conv_s")
+        m.bn(f"{my}/conv/bn_s", f"{torch}.conv.bn_s")
+        m.conv3d(f"{my}/conv/conv_t", f"{torch}.conv.conv_t")
+        m.bn(f"{my}/bn", f"{torch}.bn")
+
+    convmod("conv1", "conv1")
+    for s, blocks in enumerate(stage_blocks, start=1):
+        for b in range(blocks):
+            my = f"layer{s}_{b}"
+            tk = f"layer{s}.{b}"
+            convmod(f"{my}/conv1", f"{tk}.conv1")
+            convmod(f"{my}/conv2", f"{tk}.conv2")
+            if b == 0 and s > 1:
+                convmod(f"{my}/downsample", f"{tk}.downsample")
+    m.dense("project", "project")
+    return m.result()
+
+
+def convert_spec_resnet50(sd: StateDict, prefix: str = "",
+                          stage_blocks=(3, 4, 6, 3)) -> Dict:
+    """Audio spec ResNet-50 state dict → flax variables for
+    cavp.spec_towers.SpecResNet50.
+
+    Key layout: `open_clip/audio_contrastive.py:1344-1404` (conv1.{0,1},
+    conv{2..5}_x.{i}.residual_function.{0,1,3,4,6,7} + shortcut.{0,1}).
+    """
+    m = _BNMapper(sd, prefix)
+    m.conv2d_nobias("stem_conv", "conv1.0")
+    m.bn("stem_bn", "conv1.1")
+    for stage, blocks in enumerate(stage_blocks, start=2):
+        for b in range(blocks):
+            my = f"conv{stage}_{b}"
+            tk = f"conv{stage}_x.{b}.residual_function"
+            for j, (conv_i, bn_i) in enumerate(((0, 1), (3, 4), (6, 7)), 1):
+                m.conv2d_nobias(f"{my}/conv{j}", f"{tk}.{conv_i}")
+                m.bn(f"{my}/bn{j}", f"{tk}.{bn_i}")
+            if b == 0:
+                sc = f"conv{stage}_x.{b}.shortcut"
+                m.conv2d_nobias(f"{my}/shortcut_conv", f"{sc}.0")
+                m.bn(f"{my}/shortcut_bn", f"{sc}.1")
+    return m.result()
+
+
+def convert_spec_vit(sd: StateDict, prefix: str = "", layers: int = 12,
+                     cls_token: bool = True) -> Dict:
+    """Spec_VIT / Spec_VIT_mean state dict → flax params for
+    cavp.spec_towers.SpecViT / SpecViTMean.
+
+    Key layout: `open_clip/audio_contrastive.py:1599-1771` (conv1,
+    class_embedding, positional_embedding, ln_pre/ln_post,
+    transformer.resblocks.{i}.{ln_1,attn,ln_2,mlp}, proj).
+    """
+    m = _Mapper(sd, prefix)
+    m.take("conv1/kernel", "conv1.weight", _conv1d)
+    if cls_token:
+        m.take("class_embedding", "class_embedding", _id)
+    m.take("positional_embedding", "positional_embedding", _id)
+    for ln in ("ln_pre", "ln_post"):
+        m.take(f"{ln}/scale", f"{ln}.weight", _id)
+        m.take(f"{ln}/bias", f"{ln}.bias", _id)
+    for i in range(layers):
+        my = f"block{i}"
+        tk = f"transformer.resblocks.{i}"
+        for ln in ("ln_1", "ln_2"):
+            m.take(f"{my}/{ln}/scale", f"{tk}.{ln}.weight", _id)
+            m.take(f"{my}/{ln}/bias", f"{tk}.{ln}.bias", _id)
+        m.take(f"{my}/attn/in_proj/kernel", f"{tk}.attn.in_proj_weight",
+               _dense)
+        m.take(f"{my}/attn/in_proj/bias", f"{tk}.attn.in_proj_bias", _id)
+        m.dense(f"{my}/attn/out_proj", f"{tk}.attn.out_proj")
+        m.dense(f"{my}/c_fc", f"{tk}.mlp.c_fc")
+        m.dense(f"{my}/c_proj", f"{tk}.mlp.c_proj")
+    m.take("proj", "proj", _id)
+    return {"params": m.tree}

@@ -1,0 +1,173 @@
+"""Shared stubs for importing reference torch modules standalone.
+
+The reference towers import mmcv / fvcore, which aren't in this image. These
+stubs provide just enough surface (ConvModule with conv_cfg dispatch,
+Registry, build_norm_layer, CfgNode, weight-init no-ops) to construct the
+actual reference models for side-by-side numerics.
+"""
+import importlib.util
+import sys
+import types
+
+import torch
+import torch.nn as tnn
+
+
+class _Registry:
+    def __init__(self, name="", parent=None, scope=None):
+        self._m = {}
+
+    def register_module(self, *a, **k):
+        def deco(cls):
+            self._m[cls.__name__] = cls
+            return cls
+
+        return deco
+
+    def get(self, name):
+        return self._m[name]
+
+    def build(self, cfg):
+        cfg = dict(cfg)
+        cls = self.get(cfg.pop("type"))
+        return cls(**cfg)
+
+
+_CONV_LAYERS = _Registry("conv layer")
+
+
+def _build_norm_layer(norm_cfg, num_features):
+    eps = (norm_cfg or {}).get("eps", 1e-5)
+    return "bn", tnn.BatchNorm3d(num_features, eps=eps)
+
+
+class _ConvModule(tnn.Module):
+    """mmcv ConvModule: conv (via conv_cfg registry) → BN → optional ReLU."""
+
+    def __init__(self, in_ch, out_ch, kernel=None, stride=1, padding=0,
+                 dilation=1, bias=False, conv_cfg=None, norm_cfg=None,
+                 act_cfg="default", groups=1, kernel_size=None):
+        super().__init__()
+        k = kernel if kernel is not None else kernel_size
+        ctype = (conv_cfg or {}).get("type", "Conv3d")
+        if ctype == "Conv3d":
+            self.conv = tnn.Conv3d(
+                in_ch, out_ch, k, stride=stride, padding=padding,
+                dilation=dilation, bias=bias, groups=groups,
+            )
+        else:
+            self.conv = _CONV_LAYERS.get(ctype)(
+                in_ch, out_ch, k, stride=stride, padding=padding,
+                dilation=dilation, groups=groups, bias=bias,
+            )
+        _, self.bn = _build_norm_layer(norm_cfg, out_ch)
+        self.norm = self.bn
+        self.with_act = act_cfg is not None
+
+    def forward(self, x):
+        x = self.bn(self.conv(x))
+        return torch.relu(x) if self.with_act else x
+
+
+def install_mmcv_stub():
+    if "mmcv" in sys.modules:
+        return
+
+    def _noop(*a, **k):
+        pass
+
+    def constant_init(module, val, **kw):
+        if hasattr(module, "weight") and module.weight is not None:
+            tnn.init.constant_(module.weight, val)
+
+    class NonLocal3d(tnn.Module):
+        pass
+
+    mmcv = types.ModuleType("mmcv")
+    cnn = types.ModuleType("mmcv.cnn")
+    runner = types.ModuleType("mmcv.runner")
+    utils = types.ModuleType("mmcv.utils")
+    cnn.ConvModule = _ConvModule
+    cnn.kaiming_init = _noop
+    cnn.constant_init = constant_init
+    cnn.build_activation_layer = lambda cfg: tnn.ReLU()
+    cnn.NonLocal3d = NonLocal3d
+    cnn.MODELS = _Registry("models")
+    cnn.CONV_LAYERS = _CONV_LAYERS
+    cnn.build_norm_layer = _build_norm_layer
+    runner._load_checkpoint = lambda *a, **k: {}
+    runner.load_checkpoint = lambda *a, **k: {}
+    utils.print_log = lambda *a, **k: None
+    utils._BatchNorm = tnn.modules.batchnorm._BatchNorm
+    utils.Registry = _Registry
+    mmcv.cnn = cnn
+    mmcv.runner = runner
+    mmcv.utils = utils
+    for name, mod in [
+        ("mmcv", mmcv), ("mmcv.cnn", cnn), ("mmcv.runner", runner),
+        ("mmcv.utils", utils),
+    ]:
+        sys.modules[name] = mod
+
+
+class CfgNode(dict):
+    """Attribute-access dict standing in for fvcore's CfgNode."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    def merge_from_file(self, path):
+        raise NotImplementedError("tests build configs programmatically")
+
+
+def install_fvcore_stub():
+    if "fvcore" in sys.modules:
+        return
+    fvcore = types.ModuleType("fvcore")
+    fnn = types.ModuleType("fvcore.nn")
+    winit = types.ModuleType("fvcore.nn.weight_init")
+    common = types.ModuleType("fvcore.common")
+    config = types.ModuleType("fvcore.common.config")
+    winit.c2_msra_fill = lambda *a, **k: None
+    winit.c2_xavier_fill = lambda *a, **k: None
+    config.CfgNode = CfgNode
+    fnn.weight_init = winit
+    common.config = config
+    fvcore.nn = fnn
+    fvcore.common = common
+    for name, mod in [
+        ("fvcore", fvcore), ("fvcore.nn", fnn),
+        ("fvcore.nn.weight_init", winit), ("fvcore.common", common),
+        ("fvcore.common.config", config),
+    ]:
+        sys.modules[name] = mod
+
+
+def load_ref_module(name, path):
+    """Import a reference source file standalone under the given module name."""
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def randomize_torch_model(model, seed=0):
+    """Random weights + plausible BN stats so parity actually exercises BN."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.uniform_(-0.2, 0.2, generator=g)
+        for name, b in model.named_buffers():
+            if name.endswith("running_var"):
+                b.uniform_(0.5, 1.5, generator=g)
+            elif name.endswith("running_mean"):
+                b.uniform_(-0.2, 0.2, generator=g)
+    model.eval()
+    return model

@@ -1,6 +1,5 @@
 """CAVP tower parity vs the reference torch modules (mmcv stubbed)."""
 import sys
-import types
 
 import jax
 import jax.numpy as jnp
@@ -10,65 +9,7 @@ import pytest
 torch = pytest.importorskip("torch")
 
 
-def _install_mmcv_stub():
-    if "mmcv" in sys.modules:
-        return
-    import torch.nn as tnn
-
-    class ConvModule(tnn.Module):
-        """Minimal mmcv ConvModule: Conv3d → BN3d → ReLU (order as mmaction)."""
-
-        def __init__(self, in_ch, out_ch, kernel=None, stride=1, padding=0,
-                     dilation=1, bias=False, conv_cfg=None, norm_cfg=None,
-                     act_cfg="default", groups=1, kernel_size=None):
-            super().__init__()
-            k = kernel if kernel is not None else kernel_size
-            self.conv = tnn.Conv3d(
-                in_ch, out_ch, k, stride=stride, padding=padding,
-                dilation=dilation, bias=bias, groups=groups,
-            )
-            self.bn = tnn.BatchNorm3d(out_ch)
-            self.with_act = act_cfg is not None
-            self.norm = self.bn
-
-        def forward(self, x):
-            x = self.bn(self.conv(x))
-            return torch.relu(x) if self.with_act else x
-
-    def kaiming_init(module, **kw):
-        pass
-
-    def constant_init(module, val, **kw):
-        if hasattr(module, "weight") and module.weight is not None:
-            tnn.init.constant_(module.weight, val)
-
-    def build_activation_layer(cfg):
-        return tnn.ReLU()
-
-    class NonLocal3d(tnn.Module):
-        pass
-
-    mmcv = types.ModuleType("mmcv")
-    cnn = types.ModuleType("mmcv.cnn")
-    runner = types.ModuleType("mmcv.runner")
-    utils = types.ModuleType("mmcv.utils")
-    cnn.ConvModule = ConvModule
-    cnn.kaiming_init = kaiming_init
-    cnn.constant_init = constant_init
-    cnn.build_activation_layer = build_activation_layer
-    cnn.NonLocal3d = NonLocal3d
-    runner._load_checkpoint = lambda *a, **k: {}
-    runner.load_checkpoint = lambda *a, **k: {}
-    utils.print_log = lambda *a, **k: None
-    utils._BatchNorm = tnn.modules.batchnorm._BatchNorm
-    mmcv.cnn = cnn
-    mmcv.runner = runner
-    mmcv.utils = utils
-    for name, mod in [
-        ("mmcv", mmcv), ("mmcv.cnn", cnn), ("mmcv.runner", runner),
-        ("mmcv.utils", utils),
-    ]:
-        sys.modules[name] = mod
+from ref_stubs import install_mmcv_stub as _install_mmcv_stub  # noqa: E402
 
 
 @pytest.fixture(scope="module")
