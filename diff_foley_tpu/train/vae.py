@@ -40,10 +40,15 @@ class VAETrainConfig:
 
 class VAETrainer:
     def __init__(self, vae: Optional[AutoencoderKL] = None,
-                 cfg: VAETrainConfig = VAETrainConfig()):
+                 cfg: VAETrainConfig = VAETrainConfig(),
+                 perceptual_fn=None):
+        """`perceptual_fn(x, rec) -> scalar` supplies the LPIPS/LPAPS term
+        (build with train.perceptual.make_lpips_fn / make_lpaps_fn); active
+        when cfg.loss.perceptual_weight > 0 (decoder_loss.py:40-74)."""
         self.vae = vae or AutoencoderKL(VAEConfig())
         self.disc = NLayerDiscriminator()
         self.cfg = cfg
+        self.perceptual_fn = perceptual_fn
         self.tx = optax.adam(cfg.lr, b1=0.5, b2=0.9)
         self.disc_tx = optax.adam(cfg.lr, b1=0.5, b2=0.9)
 
@@ -100,7 +105,8 @@ class VAETrainer:
             d_weight = jax.lax.stop_gradient(d_weight)
 
             loss, logs = generator_loss(
-                rec, x, posterior, logits_fake, step, lcfg, d_weight
+                rec, x, posterior, logits_fake, step, lcfg, d_weight,
+                perceptual_fn=self.perceptual_fn,
             )
             return loss, (logs, rec)
 

@@ -754,3 +754,49 @@ def convert_spec_vit(sd: StateDict, prefix: str = "", layers: int = 12,
         m.dense(f"{my}/c_proj", f"{tk}.mlp.c_proj")
     m.take("proj", "proj", _id)
     return {"params": m.tree}
+
+
+# ---------------------------------------------------------------------------
+# LPIPS / LPAPS perceptual-metric converters
+# ---------------------------------------------------------------------------
+
+# torchvision vgg16.features conv indices and their slice modules
+_VGG_TORCH_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+_VGG_SLICE_BOUNDS = (4, 9, 16, 23, 30)  # slice1..slice5 end indices
+
+
+def _vgg_slice_of(idx: int) -> int:
+    for s, bound in enumerate(_VGG_SLICE_BOUNDS, start=1):
+        if idx < bound:
+            return s
+    raise ValueError(idx)
+
+
+def _convert_perceptual(sd: StateDict, prefix: str, shift_key: str,
+                        scale_key: str) -> Dict:
+    m = _Mapper(sd, prefix)
+    for my_i, t_i in enumerate(_VGG_TORCH_CONV_IDX):
+        m.conv(f"net/conv{my_i}", f"net.slice{_vgg_slice_of(t_i)}.{t_i}")
+    for k in range(5):
+        # 1×1 conv head (1, C, 1, 1) → flax Conv kernel (1, 1, C, 1)
+        m.take(f"lin{k}/kernel", f"lin{k}.model.1.weight", _conv)
+    _set(m.tree, "shift", _np(sd[prefix + shift_key]).reshape(-1))
+    _set(m.tree, "scale", _np(sd[prefix + scale_key]).reshape(-1))
+    return {"params": m.tree}
+
+
+def convert_lpips(sd: StateDict, prefix: str = "") -> Dict:
+    """LPIPS state dict (taming/lpips.py:54) → flax params for
+    train.perceptual.LPIPS (scaling_layer buffers, net.slice*.N convs,
+    lin{0..4}.model.1 heads)."""
+    return _convert_perceptual(
+        sd, prefix, "scaling_layer.shift", "scaling_layer.scale"
+    )
+
+
+def convert_lpaps(sd: StateDict, prefix: str = "") -> Dict:
+    """LPAPS state dict (adm/modules/losses/lpaps.py:21) → flax params for
+    train.perceptual.LPAPS (per-frequency scaling stats)."""
+    return _convert_perceptual(
+        sd, prefix, "scaling_layer.shift", "scaling_layer.scale"
+    )

@@ -171,3 +171,37 @@ def randomize_torch_model(model, seed=0):
                 b.uniform_(-0.2, 0.2, generator=g)
     model.eval()
     return model
+
+
+def install_torchvision_stub():
+    """Stub torchvision.models.vgg16: the exact `features` Sequential layout
+    (conv/relu/maxpool indices 0-30) without downloading weights."""
+    if "torchvision" in sys.modules:
+        return
+
+    def vgg16(weights=None, pretrained=False, **kw):
+        plan = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                512, 512, 512, "M", 512, 512, 512]
+        layers, in_ch = [], 3
+        for v in plan:
+            if v == "M":
+                layers.append(tnn.MaxPool2d(2, 2))
+            else:
+                layers.append(tnn.Conv2d(in_ch, v, 3, padding=1))
+                layers.append(tnn.ReLU(inplace=True))
+                in_ch = v
+        layers.append(tnn.MaxPool2d(2, 2))
+
+        class _VGG(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.features = tnn.Sequential(*layers)
+
+        return _VGG()
+
+    tv = types.ModuleType("torchvision")
+    models = types.ModuleType("torchvision.models")
+    models.vgg16 = vgg16
+    tv.models = models
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = models
