@@ -800,3 +800,32 @@ def convert_lpaps(sd: StateDict, prefix: str = "") -> Dict:
     return _convert_perceptual(
         sd, prefix, "scaling_layer.shift", "scaling_layer.scale"
     )
+
+
+def convert_vivit(sd: StateDict, prefix: str = "", spatial_depth: int = 8,
+                  temporal_depth: int = 4, temporal_cls: bool = True) -> Dict:
+    """ViViT / ViViT_mean state dict (stage2_decode/vit.py:85-283) → flax
+    params for models.vivit.ViViT / ViViTMean."""
+    m = _Mapper(sd, prefix)
+    for ln, idx in (("patch_norm1", 1), ("patch_norm2", 3)):
+        m.take(f"{ln}/scale", f"to_patch_embedding.{idx}.weight", _id)
+        m.take(f"{ln}/bias", f"to_patch_embedding.{idx}.bias", _id)
+    m.dense("patch_proj", "to_patch_embedding.2")
+    m.take("pos_embedding", "pos_embedding", _id)
+    m.take("spatial_cls_token", "spatial_cls_token", _id)
+    if temporal_cls:
+        m.take("temporal_cls_token", "temporal_cls_token", _id)
+    for name, depth in (("spatial_transformer", spatial_depth),
+                        ("temporal_transformer", temporal_depth)):
+        for i in range(depth):
+            tk = f"{name}.layers.{i}"
+            my = f"{name}"
+            m.take(f"{my}/attn{i}_norm/scale", f"{tk}.0.norm.weight", _id)
+            m.take(f"{my}/attn{i}_norm/bias", f"{tk}.0.norm.bias", _id)
+            m.dense(f"{my}/attn{i}/to_qkv", f"{tk}.0.fn.to_qkv", bias=False)
+            m.dense(f"{my}/attn{i}/to_out", f"{tk}.0.fn.to_out.0")
+            m.take(f"{my}/ff{i}_norm/scale", f"{tk}.1.norm.weight", _id)
+            m.take(f"{my}/ff{i}_norm/bias", f"{tk}.1.norm.bias", _id)
+            m.dense(f"{my}/ff{i}_in", f"{tk}.1.fn.net.0")
+            m.dense(f"{my}/ff{i}_out", f"{tk}.1.fn.net.3")
+    return {"params": m.tree}
