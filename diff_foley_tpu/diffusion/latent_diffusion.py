@@ -99,6 +99,22 @@ class LatentDiffusion:
         z = z / self.cfg.scale_factor
         return self.vae.apply(vae_params, z, method=lambda m, a: m.decode(a))
 
+    def decode_first_stage_tiled(
+        self, vae_params: Params, z: jnp.ndarray, split
+    ) -> jnp.ndarray:
+        """Big-canvas decode: overlapping ks-tiles through the VAE decoder,
+        border-weighted overlap-add (ddpm.py:749-786, patch_distributed_vq).
+        `split`: diffusion.tiled.SplitInputParams (vqf = VAE upsampling)."""
+        from .tiled import tiled_apply
+
+        z = z / self.cfg.scale_factor
+        return tiled_apply(
+            lambda tile: self.vae.apply(
+                vae_params, tile, method=lambda m, a: m.decode(a)
+            ),
+            z, split, uf=split.vqf,
+        )
+
     # ---- conditioning -----------------------------------------------------
     def get_learned_conditioning(self, params: Dict, feat: jnp.ndarray) -> jnp.ndarray:
         return self.cond_encoder.apply(params["cond"], feat)
@@ -123,6 +139,24 @@ class LatentDiffusion:
         return self.unet.apply(
             params["unet"], x, t, context, deterministic, rngs=rngs
         )
+
+    def apply_model_tiled(
+        self, params: Dict, x: jnp.ndarray, t: jnp.ndarray, context, split
+    ) -> jnp.ndarray:
+        """ε-prediction over a big latent canvas via overlapping ks-tiles
+        (ddpm.py:936-1018): every tile sees the same cross-attention context
+        (the reference's `cond_list = [cond] * L` default branch), all L·B
+        tiles run as ONE batched UNet call, outputs blend with the border
+        weighting. `split`: diffusion.tiled.SplitInputParams."""
+        from .tiled import tiled_apply
+
+        def fn(tiles):
+            n_rep = tiles.shape[0] // x.shape[0]
+            ctx = jnp.tile(context, (n_rep, 1, 1))
+            tt = jnp.tile(t, (n_rep,))
+            return self.unet.apply(params["unet"], tiles, tt, ctx)
+
+        return tiled_apply(fn, x, split, uf=1)
 
     # ---- training ---------------------------------------------------------
     def p_losses(
