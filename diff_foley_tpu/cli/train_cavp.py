@@ -48,6 +48,10 @@ def parse_args(argv=None):
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--steps-per-epoch", type=int, default=0, help="0 = full shards")
     p.add_argument("--intra-weight", type=float, default=1.0)
+    p.add_argument("--accum-freq", type=int, default=1,
+                   help="feature-cache gradient accumulation (reference "
+                        "--accum_freq): K micro-batches per optimizer step, "
+                        "full K*B contrastive batch semantics")
     p.add_argument("--embed-dim", type=int, default=512)
     p.add_argument("--video-encode", default="slowonly",
                    choices=["slowonly", "x3d", "i3d", "r2plus1d"],
@@ -112,7 +116,8 @@ def main(argv=None):
     from ..models.cavp import CAVPConfig, CAVPModel
     from ..parallel.mesh import make_mesh
     from ..train.stage1_cavp import (
-        Stage1TrainConfig, init_train_state, make_train_step,
+        Stage1TrainConfig, init_train_state, make_accum_train_step,
+        make_train_step,
     )
     from ..utils.checkpoint import CheckpointManager
     from ..utils.logging import MetricsLogger, Stopwatch
@@ -128,7 +133,7 @@ def main(argv=None):
     ))
     tcfg = Stage1TrainConfig(
         lr=args.lr, warmup_steps=args.warmup, clip_num=args.clip_num,
-        intra_weight=args.intra_weight,
+        intra_weight=args.intra_weight, accum_freq=args.accum_freq,
     )
     state = init_train_state(
         model, jax.random.PRNGKey(args.seed), tcfg,
@@ -142,8 +147,14 @@ def main(argv=None):
     mesh = make_mesh()
     repl, dsh = NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
     state = jax.device_put(state, repl)
+    if tcfg.accum_freq > 1:
+        inner_step = make_accum_train_step(model, tcfg, tcfg.accum_freq)
+        # micro-batch axis K leads; the data axis is axis 1
+        dsh = NamedSharding(mesh, P(None, "data"))
+    else:
+        inner_step = make_train_step(model, tcfg)
     step_fn = jax.jit(
-        make_train_step(model, tcfg),
+        inner_step,
         in_shardings=(repl, dsh, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
@@ -165,14 +176,21 @@ def main(argv=None):
             )
             buf = {"video": [], "spec": []}
             n_steps = 0
+            samples_per_step = args.batch_size * tcfg.accum_freq
             for sample in stream:
                 buf["video"].append(sample["video"])
                 buf["spec"].append(sample["spec"])
-                if len(buf["video"]) == args.batch_size:
-                    batch = {
-                        k: jax.device_put(np.stack(v), dsh)
-                        for k, v in buf.items()
-                    }
+                if len(buf["video"]) == samples_per_step:
+                    def _stack(v):
+                        arr = np.stack(v)
+                        if tcfg.accum_freq > 1:  # (K, B, …) micro-batches
+                            arr = arr.reshape(
+                                tcfg.accum_freq, args.batch_size,
+                                *arr.shape[1:],
+                            )
+                        return jax.device_put(arr, dsh)
+
+                    batch = {k: _stack(v) for k, v in buf.items()}
                     buf = {"video": [], "spec": []}
                     state, metrics = step_fn(state, batch, rng)
                     n_steps += 1

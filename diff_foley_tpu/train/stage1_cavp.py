@@ -51,6 +51,8 @@ class Stage1TrainConfig:
     clip_num: int = 3
     intra_weight: float = 1.0
     grad_clip: Optional[float] = None
+    accum_freq: int = 1  # >1 → feature-cache accumulation (see
+    #                      make_accum_train_step; reference --accum-freq)
 
 
 def _decay_mask(params):
@@ -140,6 +142,109 @@ def make_train_step(model: CAVPModel, cfg: Stage1TrainConfig,
         metrics["grad_norm"] = optax.global_norm(grads)
         return (
             CAVPTrainState(state.step + 1, params, new_stats, opt_state),
+            metrics,
+        )
+
+    return step
+
+
+def make_accum_train_step(model: CAVPModel, cfg: Stage1TrainConfig,
+                          accum_freq: int,
+                          tx: Optional[optax.GradientTransformation] = None,
+                          train: bool = True):
+    """Feature-cache gradient accumulation: the reference's --accum-freq
+    (train_wds_intra_contrast.py:115-151).
+
+    step(state, batches, rng) with batches {"video": (K, B, clip_num, …),
+    "spec": (K, B, clip_num, …)} holds a K·B-video effective contrastive
+    batch on memory that only fits B videos:
+
+    - pass 1: encode all K micro-batches without gradients (features cached;
+      BN stats advance here once — the reference's double update in its
+      second pass is not reproduced).
+    - pass 2: for each j, re-encode micro-batch j WITH gradients, splice its
+      live features into the cached set, take the FULL-batch contrastive
+      loss, and accumulate grads (lax.scan). The summed tower gradients
+      equal the full-batch loss gradient exactly; logit_scale appears live
+      in every pass so its summed gradient is divided by K (the reference
+      over-counts it K×).
+
+    Note: optax.MultiSteps does NOT reproduce this semantics — each of its
+    micro-losses only sees its own negatives.
+    """
+    tx = tx or make_optimizer(cfg)
+    K = accum_freq
+
+    def _flat(mb):
+        return mb.reshape(-1, *mb.shape[2:])
+
+    def _encode(params, stats, video, spec, rng):
+        variables = {"params": params, "batch_stats": stats}
+        if train:
+            out, mutated = model.apply(
+                variables, video, spec, train=True,
+                mutable=["batch_stats"], rngs={"dropout": rng},
+            )
+            return out, mutated["batch_stats"]
+        return model.apply(variables, video, spec, train=False), stats
+
+    def step(state: CAVPTrainState, batches, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        videos = batches["video"]  # (K, B, clip, ...)
+        specs = batches["spec"]
+        assert videos.shape[0] == K, f"expected {K} micro-batches"
+
+        # ---- pass 1: cache features (no grad), advance BN stats ----------
+        def cache_one(stats, xs):
+            v, s, key = xs
+            out, stats = _encode(state.params, stats, _flat(v), _flat(s), key)
+            return stats, (out["video_features"], out["spec_features"])
+
+        keys = jax.random.split(rng, K)
+        stats1, (v_cache, s_cache) = jax.lax.scan(
+            cache_one, state.batch_stats, (videos, specs, keys)
+        )  # caches: (K, b, D)
+        v_cache = jax.lax.stop_gradient(v_cache)
+        s_cache = jax.lax.stop_gradient(s_cache)
+        b = v_cache.shape[1]
+
+        # ---- pass 2: per-micro grads against the full cached batch -------
+        def loss_j(params, v_j, s_j, key, j):
+            out, _ = _encode(params, stats1, _flat(v_j), _flat(s_j), key)
+            v_all = jax.lax.dynamic_update_slice_in_dim(
+                v_cache, out["video_features"][None], j, axis=0
+            ).reshape(K * b, -1)
+            s_all = jax.lax.dynamic_update_slice_in_dim(
+                s_cache, out["spec_features"][None], j, axis=0
+            ).reshape(K * b, -1)
+            losses = intra_contrast_loss(
+                v_all, s_all, out["logit_scale"],
+                clip_num=cfg.clip_num, intra_weight=cfg.intra_weight,
+            )
+            return losses["total_loss"], losses
+
+        # K is static: unroll — each iteration is one grad pass over a
+        # micro-batch spliced into the cached full batch
+        grads_sum = jax.tree.map(jnp.zeros_like, state.params)
+        last_losses = None
+        for j in range(K):
+            (loss, l_j), g = jax.value_and_grad(loss_j, has_aux=True)(
+                state.params, videos[j], specs[j], keys[j], j
+            )
+            grads_sum = jax.tree.map(jnp.add, grads_sum, g)
+            last_losses = l_j
+        grads = dict(grads_sum)
+        grads["logit_scale"] = grads["logit_scale"] / K  # see docstring
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = dict(params)
+        params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0, LOG_100)
+        metrics = {k: v for k, v in last_losses.items()}
+        metrics["logit_scale"] = jnp.exp(params["logit_scale"])
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            CAVPTrainState(state.step + 1, params, stats1, opt_state),
             metrics,
         )
 
