@@ -123,3 +123,35 @@ class SpatialTransformer(nn.Module):
         x = x.reshape(b, h, w, inner)
         x = conv1x1(c, zero_init=True, name="proj_out")(x)
         return x + x_in
+
+
+class SpatialTransformer1D(nn.Module):
+    """Token-space transformer over an NLC sequence — the reference's 1D
+    SpatialTransformer variant for 1D (waveform) latents
+    (diff_foley/modules/diffusionmodules/attention.py:218-297): GroupNorm →
+    1×1 Conv1d proj_in → BasicTransformerBlocks → 1×1 Conv1d proj_out
+    (optionally zero-init, `use_zero_module`) + residual."""
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    dropout: float = 0.0
+    use_zero_module: bool = True
+
+    @nn.compact
+    def __call__(self, x, context=None, deterministic: bool = True):
+        b, l, c = x.shape
+        inner = self.heads * self.dim_head
+        x_in = x
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        x = nn.Conv(inner, (1,), name="proj_in")(x)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                self.heads, self.dim_head, self.dropout, name=f"block{i}"
+            )(x, context, deterministic)
+        kernel_init = (
+            nn.initializers.zeros if self.use_zero_module
+            else nn.initializers.lecun_normal()
+        )
+        x = nn.Conv(c, (1,), kernel_init=kernel_init, name="proj_out")(x)
+        return x + x_in

@@ -123,6 +123,10 @@ class ResBlock(nn.Module):
     use_scale_shift_norm: bool = False
     up: bool = False
     down: bool = False
+    # >0 → learned time-axis positional embedding added alongside emb_out
+    # (the openai_unetmodel_pos.py:228-283 ResBlock variant; indexes the
+    # feature map's W axis, so it must be ≥ the widest level's W)
+    pos_seq_len: int = 0
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
@@ -148,6 +152,11 @@ class ResBlock(nn.Module):
             h = silu(h)
         else:
             h = h + emb_out
+            if self.pos_seq_len:
+                pos = nn.Embed(
+                    self.pos_seq_len, self.out_channels, name="pos_emb"
+                )(jnp.arange(h.shape[2]))
+                h = h + pos[None, None, :, :].astype(h.dtype)
             h = GroupNorm32(name="out_norm")(h)
             h = silu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)

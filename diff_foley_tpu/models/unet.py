@@ -52,6 +52,8 @@ class UNetConfig:
     dropout: float = 0.0
     use_checkpoint: bool = False
     num_classes: int = 0  # >0 enables class conditioning (the 'adm' mode)
+    pos_seq_len: int = 0  # >0 → ResBlock time-axis pos-emb (the
+    #                       openai_unetmodel_pos.py variant)
     dtype: str = "float32"
 
     @property
@@ -111,7 +113,8 @@ class UNetModel(nn.Module):
         for level, mult in enumerate(cfg.channel_mult):
             ch = mult * cfg.model_channels
             for i in range(cfg.num_res_blocks):
-                h = ResBlock(ch, cfg.dropout, name=f"down_{level}_{i}_res")(
+                h = ResBlock(ch, cfg.dropout, pos_seq_len=cfg.pos_seq_len,
+                             name=f"down_{level}_{i}_res")(
                     h, emb, deterministic
                 )
                 if ds in cfg.attention_resolutions:
@@ -123,15 +126,18 @@ class UNetModel(nn.Module):
                 ds *= 2
 
         ch = cfg.channel_mult[-1] * cfg.model_channels
-        h = ResBlock(ch, cfg.dropout, name="mid_res1")(h, emb, deterministic)
+        h = ResBlock(ch, cfg.dropout, pos_seq_len=cfg.pos_seq_len,
+                     name="mid_res1")(h, emb, deterministic)
         h = attn(ch, "mid_attn")(h, context, deterministic)
-        h = ResBlock(ch, cfg.dropout, name="mid_res2")(h, emb, deterministic)
+        h = ResBlock(ch, cfg.dropout, pos_seq_len=cfg.pos_seq_len,
+                     name="mid_res2")(h, emb, deterministic)
 
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
             ch = mult * cfg.model_channels
             for i in range(cfg.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = ResBlock(ch, cfg.dropout, name=f"up_{level}_{i}_res")(
+                h = ResBlock(ch, cfg.dropout, pos_seq_len=cfg.pos_seq_len,
+                             name=f"up_{level}_{i}_res")(
                     h, emb, deterministic
                 )
                 if ds in cfg.attention_resolutions:

@@ -829,3 +829,85 @@ def convert_vivit(sd: StateDict, prefix: str = "", spatial_depth: int = 8,
             m.dense(f"{my}/ff{i}_in", f"{tk}.1.fn.net.0")
             m.dense(f"{my}/ff{i}_out", f"{tk}.1.fn.net.3")
     return {"params": m.tree}
+
+
+def _lstm_layer(m: _Mapper, my: str, torch_prefix: str, layer: int) -> None:
+    """torch nn.LSTM layer → flax OptimizedLSTMCell gates (order i,f,g,o;
+    combined ih+hh biases live on the h-side Denses)."""
+    w_ih = _np(m.sd[m.prefix + f"{torch_prefix}.weight_ih_l{layer}"])
+    w_hh = _np(m.sd[m.prefix + f"{torch_prefix}.weight_hh_l{layer}"])
+    b = (_np(m.sd[m.prefix + f"{torch_prefix}.bias_ih_l{layer}"])
+         + _np(m.sd[m.prefix + f"{torch_prefix}.bias_hh_l{layer}"]))
+    hdim = w_hh.shape[1]
+    cell = f"{my}/OptimizedLSTMCell_{layer}"
+    for g, name in enumerate(("i", "f", "g", "o")):
+        sl = slice(g * hdim, (g + 1) * hdim)
+        _set(m.tree, f"{cell}/i{name}/kernel", w_ih[sl].T)
+        _set(m.tree, f"{cell}/h{name}/kernel", w_hh[sl].T)
+        _set(m.tree, f"{cell}/h{name}/bias", b[sl])
+
+
+def _conv1d_full(m: _Mapper, my: str, torch: str) -> None:
+    m.take(f"{my}/kernel", f"{torch}.weight", _conv1d)
+    m.take(f"{my}/bias", f"{torch}.bias", _id)
+
+
+def convert_sound_vae(sd: StateDict, prefix: str = "", n_blocks: int = 4,
+                      lstm_layers: int = 2) -> Dict:
+    """Sound_AutoencoderKL state dict (adm/models/autoencoder.py:14 +
+    stage1_model/model.py) → flax params for models.sound_vae.
+
+    Key layout: encoder.layers.{0 stem, 2+2i blocks}.layers.{0 res, 2 down},
+    encoder.lstm.0.*_l{n}, encoder.last_conv.1; decoder.layers1.0,
+    decoder.lstm.0, decoder.layers2.{1+2j}.layers.{0 res, 2 up},
+    decoder.last_conv.0.
+    """
+    m = _Mapper(sd, prefix)
+    # ---- encoder ----------------------------------------------------------
+    _conv1d_full(m, "encoder/stem", "encoder.layers.0")
+    for i in range(n_blocks):
+        blk = f"encoder.layers.{2 + 2 * i}.layers"
+        _conv1d_full(m, f"encoder/block{i}_res/conv1", f"{blk}.0.layers.0")
+        _conv1d_full(m, f"encoder/block{i}_res/conv2", f"{blk}.0.layers.2")
+        _conv1d_full(m, f"encoder/block{i}_down", f"{blk}.2.layers.0")
+    for n in range(lstm_layers):
+        _lstm_layer(m, "encoder/lstm", "encoder.lstm.0", n)
+    _conv1d_full(m, "encoder/last_conv", "encoder.last_conv.1")
+    # ---- decoder ----------------------------------------------------------
+    _conv1d_full(m, "decoder/stem", "decoder.layers1.0")
+    for n in range(lstm_layers):
+        _lstm_layer(m, "decoder/lstm", "decoder.lstm.0", n)
+    for j in range(n_blocks):
+        blk = f"decoder.layers2.{1 + 2 * j}.layers"
+        _conv1d_full(m, f"decoder/block{j}_res/conv1", f"{blk}.0.layers.0")
+        _conv1d_full(m, f"decoder/block{j}_res/conv2", f"{blk}.0.layers.2")
+        # ConvTranspose1d (in, out, k) → flax transpose_kernel=True (k,out,in)
+        w = _np(sd[prefix + f"decoder.layers2.{1 + 2 * j}.layers.2.layers.0.weight"])
+        _set(m.tree, f"decoder/block{j}_up/kernel", w.transpose(2, 1, 0))
+        m.take(f"decoder/block{j}_up/bias",
+               f"decoder.layers2.{1 + 2 * j}.layers.2.layers.0.bias", _id)
+    _conv1d_full(m, "decoder/last_conv", "decoder.last_conv.0")
+    return {"params": m.tree}
+
+
+def convert_spatial_transformer1d(sd: StateDict, prefix: str = "",
+                                  depth: int = 1) -> Dict:
+    """1D SpatialTransformer state dict (diff_foley/modules/diffusionmodules/
+    attention.py:218-297) → flax params for attention.SpatialTransformer1D."""
+    m = _Mapper(sd, prefix)
+    m.gn_flat("norm", "norm")
+    _conv1d_full(m, "proj_in", "proj_in")
+    for d in range(depth):
+        tb = f"transformer_blocks.{d}"
+        mb = f"block{d}"
+        for n in (1, 2, 3):
+            m.gn_flat(f"{mb}/norm{n}", f"{tb}.norm{n}")
+        for a in ("attn1", "attn2"):
+            m.dense(f"{mb}/{a}/to_q", f"{tb}.{a}.to_q", bias=False)
+            m.dense(f"{mb}/{a}/to_k", f"{tb}.{a}.to_k", bias=False)
+            m.dense(f"{mb}/{a}/to_v", f"{tb}.{a}.to_v", bias=False)
+            m.dense(f"{mb}/{a}/to_out", f"{tb}.{a}.to_out.0")
+        m.dense(f"{mb}/ff/geglu/proj", f"{tb}.ff.net.0.proj")
+        m.dense(f"{mb}/ff/out", f"{tb}.ff.net.2")
+    _conv1d_full(m, "proj_out", "proj_out")
+    return {"params": m.tree}
