@@ -1,0 +1,134 @@
+"""One-shot flagship-scale parity record: full-size 320-ch UNet + SD VAE
+fp32 outputs vs the actual reference torch modules (random weights),
+addressing round-1 VERDICT weak #3 (toy-width-only parity).
+
+Writes PARITY_FLAGSHIP.json with per-module max|Δ| / rel-Δ.
+
+Run on CPU:  JAX_PLATFORMS=cpu python scripts/flagship_parity.py
+"""
+import json
+import os
+import sys
+import time
+import types
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import torch  # noqa: E402
+
+# reference imports need pl/omegaconf stubs (same recipe as the test suite)
+if "pytorch_lightning" not in sys.modules:
+    fake_pl = types.ModuleType("pytorch_lightning")
+    fake_pl.LightningModule = torch.nn.Module
+    sys.modules["pytorch_lightning"] = fake_pl
+if "omegaconf" not in sys.modules:
+    fake_oc = types.ModuleType("omegaconf")
+    fake_lc = types.ModuleType("omegaconf.listconfig")
+
+    class ListConfig(list):
+        pass
+
+    fake_lc.ListConfig = ListConfig
+    fake_oc.listconfig = fake_lc
+    sys.modules["omegaconf"] = fake_oc
+    sys.modules["omegaconf.listconfig"] = fake_lc
+sys.path.insert(0, "/root/reference")
+
+from diff_foley_tpu.models.unet import LDM_UNET, UNetModel  # noqa: E402
+from diff_foley_tpu.models.vae import SD_VAE, AutoencoderKL  # noqa: E402
+from diff_foley_tpu.utils.convert import convert_unet, convert_vae  # noqa: E402
+
+
+def _stats(a, b):
+    d = np.abs(a - b)
+    return {
+        "max_abs_diff": float(d.max()),
+        "rel_to_std": float(d.max() / (np.abs(b).std() + 1e-12)),
+        "out_std": float(np.abs(b).std()),
+    }
+
+
+def main():
+    torch.manual_seed(0)
+    record = {"config": "flagship fp32 (LDM_UNET 320ch / SD_VAE 128ch)"}
+
+    # ---- UNet -------------------------------------------------------------
+    from diff_foley.modules.diffusionmodules.openai_unetmodel import (
+        UNetModel as TorchUNet,
+    )
+
+    t0 = time.time()
+    tm = TorchUNet(
+        image_size=32, in_channels=4, out_channels=4, model_channels=320,
+        attention_resolutions=[4, 2, 1], num_res_blocks=2,
+        channel_mult=[1, 2, 4, 4], num_heads=8, use_spatial_transformer=True,
+        transformer_depth=1, context_dim=768, use_checkpoint=False,
+        legacy=False,
+    ).eval()
+    n_params = sum(p.numel() for p in tm.parameters())
+    record["unet_params"] = n_params
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 16, 64, 4)).astype(np.float32)
+    t = np.array([123.0], np.float32)
+    c = rng.normal(size=(1, 40, 768)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(
+            torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2))),
+            torch.from_numpy(t), torch.from_numpy(c),
+        ).numpy().transpose(0, 2, 3, 1)
+    params = jax.tree.map(jnp.asarray, convert_unet(tm.state_dict(), LDM_UNET))
+    out = np.asarray(
+        UNetModel(LDM_UNET).apply(
+            params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(c)
+        )
+    )
+    record["unet"] = _stats(out, ref)
+    record["unet"]["seconds"] = round(time.time() - t0, 1)
+    del tm, params
+
+    # ---- VAE --------------------------------------------------------------
+    from diff_foley.models.autoencoder import AutoencoderKL as TorchVAE
+
+    t0 = time.time()
+    ddconfig = dict(
+        double_z=True, z_channels=4, resolution=256, in_channels=3, out_ch=3,
+        ch=128, ch_mult=[1, 2, 4, 4], num_res_blocks=2, attn_resolutions=[],
+        dropout=0.0,
+    )
+    tv = TorchVAE(
+        ddconfig=ddconfig, lossconfig={"target": "torch.nn.Identity"},
+        embed_dim=4,
+    ).eval()
+    record["vae_params"] = sum(p.numel() for p in tv.parameters())
+    spec = rng.normal(size=(1, 128, 512, 3)).astype(np.float32)
+    with torch.no_grad():
+        post = tv.encode(torch.from_numpy(
+            np.ascontiguousarray(spec.transpose(0, 3, 1, 2))))
+        z_ref = post.mode().numpy().transpose(0, 2, 3, 1)
+        rec_ref = tv.decode(post.mode()).numpy().transpose(0, 2, 3, 1)
+    vparams = jax.tree.map(jnp.asarray, convert_vae(tv.state_dict(), SD_VAE))
+    vae = AutoencoderKL(SD_VAE)
+    z = np.asarray(vae.apply(
+        vparams, jnp.asarray(spec), method=lambda m, a: m.encode(a).mode()))
+    rec = np.asarray(vae.apply(
+        vparams, jnp.asarray(z), method=lambda m, a: m.decode(a)))
+    record["vae_encode"] = _stats(z, z_ref)
+    record["vae_decode"] = _stats(rec, rec_ref)
+    record["vae_decode"]["seconds"] = round(time.time() - t0, 1)
+
+    out_path = os.path.join(os.path.dirname(__file__), "..",
+                            "PARITY_FLAGSHIP.json")
+    with open(os.path.abspath(out_path), "w") as f:
+        json.dump(record, f, indent=2)
+    print(json.dumps(record, indent=2))
+
+
+if __name__ == "__main__":
+    main()
