@@ -71,6 +71,12 @@ def main():
         transformer_depth=1, context_dim=768, use_checkpoint=False,
         legacy=False,
     ).eval()
+    # randomise ALL weights: the reference zero-inits output/projection convs
+    # (zero_module), which would make the comparison trivially 0 == 0
+    g = torch.Generator().manual_seed(0)
+    with torch.no_grad():
+        for p_ in tm.parameters():
+            p_.uniform_(-0.05, 0.05, generator=g)
     n_params = sum(p.numel() for p in tm.parameters())
     record["unet_params"] = n_params
 
