@@ -132,7 +132,6 @@ class AudioUNetModel(nn.Module):
                     h = attn(ch, f"up_{level}_{i}_attn")(
                         h, context, deterministic)
                 if i == cfg.num_res_blocks and level != 0:
-                    b, l, c = h.shape
                     h = jnp.repeat(h, 2, axis=1)  # nearest ×2
                     h = conv1d(ch, name=f"up_{level}_us")(h)
                     ds //= 2
