@@ -57,7 +57,7 @@ def parse_args(argv=None):
                    choices=["slowonly", "x3d", "i3d", "r2plus1d"],
                    help="video tower (reference --video_encode)")
     p.add_argument("--spec-encode", default="cnn14",
-                   choices=["cnn14", "resnet50", "spec_vit", "spec_vit_mean"],
+                   choices=["cnn14", "cnn10", "resnet50", "spec_vit", "spec_vit_mean"],
                    help="audio tower (reference --spec_encode)")
     p.add_argument("--logdir", default="./logs/cavp")
     p.add_argument("--save-every-epochs", type=int, default=3)

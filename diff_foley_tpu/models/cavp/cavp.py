@@ -31,8 +31,8 @@ from .slowonly import ResNet3dSlowOnly
 class CAVPConfig:
     """`video_arch`/`spec_arch` mirror the reference's factory-selectable
     --video_encode/--spec_encode towers (model.py:490-810, params.py:477-491):
-    video ∈ {slowonly, x3d, i3d, r2plus1d}, spec ∈ {cnn14, resnet50,
-    spec_vit, spec_vit_mean}. The shipped Diff-Foley config is
+    video ∈ {slowonly, x3d, i3d, r2plus1d}, spec ∈ {cnn14, cnn10,
+    resnet50, spec_vit, spec_vit_mean}. The shipped Diff-Foley config is
     (slowonly, cnn14)."""
 
     embed_dim: int = 512
@@ -86,6 +86,12 @@ class CAVPModel(nn.Module):
             self.spec_encoder = Cnn14(
                 embed_dim=cfg.embed_dim, axis_name=cfg.axis_name
             )
+        elif cfg.spec_arch == "cnn10":
+            from .cnn14 import Cnn10
+
+            # factory: Cnn10(embed_dim=2048) + Linear(2048→embed)
+            self.spec_encoder = Cnn10(embed_dim=2048, axis_name=cfg.axis_name)
+            self.spec_project_head = nn.Dense(cfg.embed_dim)
         elif cfg.spec_arch == "resnet50":
             from .spec_towers import SpecResNet50
 
@@ -131,9 +137,11 @@ class CAVPModel(nn.Module):
     ):
         """(B, n_mels, T) → (B, 512) pooled or (B, T', 512) per-step."""
         arch = self.cfg.spec_arch
-        if arch == "cnn14":
+        if arch in ("cnn14", "cnn10"):
             x = spec.transpose(0, 2, 1)[..., None]             # (B, T, M, 1)
-            feat = self.spec_encoder(x, train=train)           # (B, T/16, 512)
+            feat = self.spec_encoder(x, train=train)           # (B, T/16, ·)
+            if arch == "cnn10":
+                feat = self.spec_project_head(feat)
         elif arch == "resnet50":
             x = spec[..., None]                                # (B, M, T, 1)
             feat = self.spec_encoder(x, train=train)           # (B, T', 2048)

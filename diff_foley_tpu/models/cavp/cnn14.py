@@ -76,3 +76,43 @@ class Cnn14(nn.Module):
         h = nn.relu(fc1(h))
         h = nn.relu(fc1(h))  # double application — reference quirk (see doc)
         return nn.Dense(self.embed_dim, name="final_project")(h)
+
+
+class Cnn10(nn.Module):
+    """PANN CNN10 audio tower (open_clip/cnn10.py:226-295): 5 ConvBlocks
+    64→1024 with (2,2)×4 + (1,2) pooling, same mel-mean + max/avg fusion and
+    double-fc1 tail as Cnn14 (factory 'cnn10_pool' uses embed_dim=2048 with
+    an external projection head)."""
+
+    embed_dim: int = 2048
+    dropout: float = 0.2
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False,
+                 deterministic: Optional[bool] = None):
+        deterministic = not train if deterministic is None else deterministic
+        h = x.transpose(0, 1, 3, 2)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            axis_name=self.axis_name if train else None, name="bn0",
+        )(h)
+        h = h.transpose(0, 1, 3, 2)
+
+        pools = [(2, 2), (2, 2), (2, 2), (2, 2), (1, 2)]
+        chans = [64, 128, 256, 512, 1024]
+        for i, (c, p) in enumerate(zip(chans, pools), start=1):
+            h = ConvBlock(c, self.axis_name, name=f"conv_block{i}")(h, p, train)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+
+        h = h.mean(axis=2)  # (B, T/16, 1024)
+        hp = jnp.pad(h, ((0, 0), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        mx = jnp.maximum(jnp.maximum(hp[:, :-2], hp[:, 1:-1]), hp[:, 2:])
+        hp = jnp.pad(h, ((0, 0), (1, 1), (0, 0)))
+        av = (hp[:, :-2] + hp[:, 1:-1] + hp[:, 2:]) / 3.0
+        h = mx + av
+
+        fc1 = nn.Dense(1024, name="fc1")
+        h = nn.relu(fc1(h))
+        h = nn.relu(fc1(h))  # double application — reference quirk
+        return nn.Dense(self.embed_dim, name="final_project")(h)

@@ -911,3 +911,17 @@ def convert_spatial_transformer1d(sd: StateDict, prefix: str = "",
         m.dense(f"{mb}/ff/out", f"{tb}.ff.net.2")
     _conv1d_full(m, "proj_out", "proj_out")
     return {"params": m.tree}
+
+
+def convert_cnn10(sd: StateDict, prefix: str = "") -> Dict:
+    """PANN Cnn10 state dict (open_clip/cnn10.py:226-295) → flax variables
+    for cavp.cnn14.Cnn10 (5 conv blocks, fc1 1024)."""
+    m = _BNMapper(sd, prefix)
+    m.bn("bn0", "bn0")
+    for i in range(1, 6):
+        for j in (1, 2):
+            m.conv2d_nobias(f"conv_block{i}/conv{j}", f"conv_block{i}.conv{j}")
+            m.bn(f"conv_block{i}/bn{j}", f"conv_block{i}.bn{j}")
+    m.dense("fc1", "fc1")
+    m.dense("final_project", "final_project")
+    return m.result()

@@ -223,3 +223,37 @@ def test_cavp_factory_alt_archs():
         np.linalg.norm(np.asarray(out["video_features"]), axis=-1), 1.0,
         rtol=1e-5,
     )
+
+
+def test_cnn10_parity(refoc):
+    from diff_foley_tpu.models.cavp.cnn14 import Cnn10
+    from diff_foley_tpu.utils.convert import convert_cnn10
+
+    from ref_stubs import randomize_torch_model
+
+    mod = importlib.import_module("refoc.cnn10")
+    tm = randomize_torch_model(mod.Cnn10(embed_dim=32), seed=6)
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(2, 1, 64, 128)).astype(np.float32)  # (B,1,T,Mel)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()  # (B, T/16, 32)
+
+    variables = jax.tree.map(jnp.asarray, convert_cnn10(tm.state_dict()))
+    out = Cnn10(embed_dim=32).apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_cavp_cnn10_factory():
+    from diff_foley_tpu.models.cavp import CAVPConfig, CAVPModel
+
+    m = CAVPModel(CAVPConfig(spec_arch="cnn10"))
+    spec = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 128, 256)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), spec,
+               method=lambda mm, s: mm.encode_spec(s, pool=True))
+    out = m.apply(v, spec, method=lambda mm, s: mm.encode_spec(
+        s, pool=True, normalize=True))
+    assert out.shape == (1, 512)
