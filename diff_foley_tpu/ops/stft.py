@@ -32,25 +32,39 @@ def _frame_indices(n_samples: int, n_fft: int, hop: int) -> np.ndarray:
     )
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop_length", "center", "pad_mode"))
+@partial(jax.jit, static_argnames=("n_fft", "hop_length", "center", "pad_mode", "win_length", "normalized"))
 def stft(
     x: jnp.ndarray,
     n_fft: int = 1024,
     hop_length: int = 256,
     center: bool = True,
     pad_mode: str = "reflect",
+    win_length: int = None,
+    normalized: bool = False,
 ) -> jnp.ndarray:
     """Complex STFT of a (..., n_samples) signal → (..., n_freq, n_frames).
 
     Output layout matches librosa (freq-major) for drop-in mel matmuls.
+    `win_length < n_fft` centre-pads the Hann window to n_fft and
+    `normalized=True` divides by √n_fft — both with torch.stft semantics
+    (used by the multi-scale audio GAN losses, audioloss_prior.py:72-77).
     """
     if center:
         pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
         x = jnp.pad(x, pad, mode=pad_mode)
     idx = _frame_indices(x.shape[-1], n_fft, hop_length)
     frames = x[..., idx]  # (..., n_frames, n_fft)
-    frames = frames * hann_window(n_fft, x.dtype)
+    if win_length is None or win_length == n_fft:
+        window = hann_window(n_fft, x.dtype)
+    else:
+        w = hann_window(win_length, x.dtype)
+        left = (n_fft - win_length) // 2
+        window = jnp.zeros((n_fft,), x.dtype).at[
+            left : left + win_length].set(w)
+    frames = frames * window
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # (..., n_frames, n_freq)
+    if normalized:
+        spec = spec / jnp.sqrt(n_fft).astype(x.dtype)
     return jnp.swapaxes(spec, -1, -2)
 
 
