@@ -107,3 +107,108 @@ class DecoderWrapper:
             )
 
         return step_fn
+
+
+class GANDecodeState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    disc_params: Any
+    disc_stats: Any
+    opt_state: Any
+    disc_opt_state: Any
+
+
+class GANDecoderWrapper(DecoderWrapper):
+    """Decoder_Wrapper's GAN training mode (decode_wrapper.py:174-196 +
+    configure_optimizers :252-260): the LPIPSWithDiscriminator objective on
+    (spec, reconstruction) pairs, two Adam(0.5, 0.9) optimizers.
+
+    `perceptual_fn(x, rec)` (e.g. train.perceptual.make_lpips_fn) supplies
+    the perceptual term when loss_cfg.perceptual_weight > 0.
+    """
+
+    def __init__(self, cfg: DecodeConfig = DecodeConfig(),
+                 cavp: Optional[CAVPModel] = None,
+                 loss_cfg=None, perceptual_fn=None):
+        from .vae_losses import NLayerDiscriminator, VAELossConfig
+
+        super().__init__(cfg, cavp)
+        self.loss_cfg = loss_cfg or VAELossConfig(disc_start=0)
+        self.perceptual_fn = perceptual_fn
+        self.disc = NLayerDiscriminator()
+        self.disc_tx = optax.adam(cfg.lr, b1=0.5, b2=0.9)
+
+    def init_train_state(self, key: jax.Array, t_feat: int = 16,
+                         spec_shape=(1, 128, 256)):
+        k1, k2 = jax.random.split(key)
+        base = super().init_train_state(k1, t_feat)
+        dvars = self.disc.init(
+            k2, jnp.zeros((spec_shape[0], *spec_shape[1:], 1))
+        )
+        return GANDecodeState(
+            step=base.step,
+            params=base.params,
+            disc_params=dvars["params"],
+            disc_stats=dvars.get("batch_stats", {}),
+            opt_state=base.opt_state,
+            disc_opt_state=self.disc_tx.init(dvars["params"]),
+        )
+
+    def make_gan_train_step(self):
+        from .vae_losses import discriminator_loss
+
+        lcfg = self.loss_cfg
+
+        def disc_apply(disc_params, disc_stats, spec_img):
+            return self.disc.apply(
+                {"params": disc_params, "batch_stats": disc_stats}, spec_img
+            )
+
+        def gen_loss_fn(params, disc_params, disc_stats, feats, spec, step):
+            rec = self.reconstruct(params, feats)
+            t = min(rec.shape[-1], spec.shape[-1])
+            rec, spec = rec[..., :t], spec[..., :t]
+            rec_loss = jnp.abs(spec - rec)
+            if self.perceptual_fn is not None and lcfg.perceptual_weight > 0:
+                rec_loss = rec_loss + lcfg.perceptual_weight * (
+                    self.perceptual_fn(spec[..., None], rec[..., None])
+                )
+            nll = jnp.sum(rec_loss) / rec.shape[0]
+            logits_fake = disc_apply(disc_params, disc_stats, rec[..., None])
+            g_loss = -jnp.mean(logits_fake)
+            disc_factor = jnp.where(
+                step >= lcfg.disc_start, lcfg.disc_factor, 0.0)
+            loss = nll + disc_factor * lcfg.disc_weight * g_loss
+            return loss, (rec, {"nll_loss": nll, "g_loss": g_loss})
+
+        def step_fn(state: GANDecodeState, cavp_variables, spec):
+            feats = self.encode_spec(cavp_variables, spec)
+            (gl, (rec, logs)), grads = jax.value_and_grad(
+                gen_loss_fn, has_aux=True
+            )(state.params, state.disc_params, state.disc_stats, feats,
+              spec, state.step)
+            updates, opt_state = self.tx.update(grads, state.opt_state)
+            params = optax.apply_updates(state.params, updates)
+
+            def d_loss_fn(disc_params):
+                t = min(rec.shape[-1], spec.shape[-1])
+                lr_ = disc_apply(disc_params, state.disc_stats,
+                                 spec[..., :t][..., None])
+                lf_ = disc_apply(disc_params, state.disc_stats,
+                                 jax.lax.stop_gradient(rec)[..., None])
+                return discriminator_loss(lr_, lf_, state.step, lcfg)
+
+            dl, dgrads = jax.value_and_grad(d_loss_fn)(state.disc_params)
+            dupdates, disc_opt_state = self.disc_tx.update(
+                dgrads, state.disc_opt_state)
+            disc_params = optax.apply_updates(state.disc_params, dupdates)
+            logs = dict(logs)
+            logs["decode_loss"] = gl
+            logs["d_loss"] = dl
+            return (
+                GANDecodeState(state.step + 1, params, disc_params,
+                               state.disc_stats, opt_state, disc_opt_state),
+                logs,
+            )
+
+        return step_fn

@@ -109,3 +109,41 @@ def test_decoder_wrapper_smoke_train():
     feats = wrapper.encode_spec(cavp_vars, spec)
     rec = wrapper.reconstruct(state.params, feats)
     assert rec.shape[:2] == (2, 128)
+
+
+def test_gan_decoder_wrapper_train():
+    """Decoder_Wrapper GAN mode (decode_wrapper.py:174-196): both optimizer
+    branches run with finite losses and the generator improves nll."""
+    from diff_foley_tpu.models.cavp import CAVPConfig, CAVPModel
+    from diff_foley_tpu.models.vae import VAEConfig
+    from diff_foley_tpu.train.stage2_decode import (
+        DecodeConfig,
+        GANDecoderWrapper,
+    )
+    from diff_foley_tpu.train.vae_losses import VAELossConfig
+
+    cfg = DecodeConfig(
+        decoder=VAEConfig(ch=32, ch_mult=(1, 1, 2, 2, 4), num_res_blocks=1,
+                          out_channels=8, z_channels=512),
+        lr=1e-3,
+    )
+    wrapper = GANDecoderWrapper(
+        cfg, CAVPModel(CAVPConfig()),
+        loss_cfg=VAELossConfig(disc_start=0, disc_weight=0.1),
+    )
+    rng = np.random.default_rng(0)
+    spec = jnp.asarray(rng.uniform(0, 1, (2, 128, 256)), jnp.float32)
+    cavp_vars = wrapper.cavp.init(
+        jax.random.PRNGKey(0), spec,
+        method=lambda m, s: m.encode_spec(s, normalize=True, pool=False),
+    )
+    state = wrapper.init_train_state(jax.random.PRNGKey(1), t_feat=16,
+                                     spec_shape=(2, 128, 256))
+    step = jax.jit(wrapper.make_gan_train_step())
+    nlls = []
+    for _ in range(4):
+        state, logs = step(state, cavp_vars, spec)
+        nlls.append(float(logs["nll_loss"]))
+        assert np.isfinite(float(logs["d_loss"]))
+        assert np.isfinite(float(logs["decode_loss"]))
+    assert nlls[-1] < nlls[0]
