@@ -37,6 +37,15 @@ def expand_braces(pattern: str):
     ]
 
 
+def stack_micro_batches(samples, accum_freq: int, batch_size: int):
+    """Stack buffered samples into a step batch: (B, …) normally, or
+    (K, B, …) micro-batches when accum_freq > 1 (feature-cache mode)."""
+    arr = np.stack(samples)
+    if accum_freq > 1:
+        arr = arr.reshape(accum_freq, batch_size, *arr.shape[1:])
+    return arr
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--train-shards", required=True)
@@ -181,16 +190,14 @@ def main(argv=None):
                 buf["video"].append(sample["video"])
                 buf["spec"].append(sample["spec"])
                 if len(buf["video"]) == samples_per_step:
-                    def _stack(v):
-                        arr = np.stack(v)
-                        if tcfg.accum_freq > 1:  # (K, B, …) micro-batches
-                            arr = arr.reshape(
-                                tcfg.accum_freq, args.batch_size,
-                                *arr.shape[1:],
-                            )
-                        return jax.device_put(arr, dsh)
-
-                    batch = {k: _stack(v) for k, v in buf.items()}
+                    batch = {
+                        k: jax.device_put(
+                            stack_micro_batches(
+                                v, tcfg.accum_freq, args.batch_size),
+                            dsh,
+                        )
+                        for k, v in buf.items()
+                    }
                     buf = {"video": [], "spec": []}
                     state, metrics = step_fn(state, batch, rng)
                     n_steps += 1

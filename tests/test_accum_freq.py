@@ -97,3 +97,16 @@ def test_accum_step_train_mode_runs():
         not np.allclose(np.asarray(a), np.asarray(b))
         for a, b in zip(after, before)
     )
+
+
+def test_cli_micro_batch_stacking():
+    from diff_foley_tpu.cli.train_cavp import stack_micro_batches
+
+    samples = [np.full((2, 3), i, np.float32) for i in range(6)]
+    plain = stack_micro_batches(samples, accum_freq=1, batch_size=6)
+    assert plain.shape == (6, 2, 3)
+    micro = stack_micro_batches(samples, accum_freq=2, batch_size=3)
+    assert micro.shape == (2, 3, 2, 3)
+    # micro-batch j holds consecutive samples (order preserved)
+    np.testing.assert_array_equal(micro[0, 0], samples[0])
+    np.testing.assert_array_equal(micro[1, 0], samples[3])
