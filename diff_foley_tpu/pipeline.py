@@ -94,13 +94,21 @@ class DiffFoleyPipeline:
         cavp_feats: np.ndarray,
         key: jax.Array,
         gen: GenerationConfig = GenerationConfig(),
+        bucket_windows: Optional[int] = None,
     ):
         """(T, 512) CAVP features → dict with specs and waveforms.
 
         Returns specs (S, num_windows*512 frames concat) and wav
         (S, num_windows*131072) for S = sample_num, mirroring notebook
         cells 13-14 (per-window generation then concatenation).
+
+        `bucket_windows` processes the stream in fixed-size window buckets
+        (last bucket padded): arbitrarily long videos reuse ONE compiled
+        program with bounded HBM instead of compiling per video length.
         """
+        if bucket_windows is not None:
+            return self._generate_bucketed(
+                cavp_feats, key, gen, bucket_windows)
         feats_w = jnp.asarray(window_features(np.asarray(cavp_feats)))
         w = feats_w.shape[0]
         k_s, k_g = jax.random.split(key)
@@ -117,4 +125,39 @@ class DiffFoleyPipeline:
             specs = specs.reshape(w, s, *specs.shape[1:]).transpose(1, 0, 2, 3)
             specs = jnp.concatenate([specs[:, i] for i in range(w)], axis=-1)
             out["spec"] = np.asarray(specs)
+        return out
+
+    def _generate_bucketed(self, cavp_feats, key, gen, bucket: int):
+        """Fixed-bucket generation: pad the window stream to a multiple of
+        `bucket`, run one compiled (bucket × sample) program per chunk, and
+        trim the padding from the concatenated outputs."""
+        feats_w = np.asarray(window_features(np.asarray(cavp_feats)))
+        w = feats_w.shape[0]
+        n_chunks = -(-w // bucket)
+        pad = n_chunks * bucket - w
+        if pad:
+            feats_w = np.concatenate(
+                [feats_w, np.repeat(feats_w[-1:], pad, axis=0)], axis=0)
+
+        s = gen.sample_num
+        wavs, specs = [], []
+        for c in range(n_chunks):
+            chunk = jnp.asarray(feats_w[c * bucket : (c + 1) * bucket])
+            k_s, k_g, key = jax.random.split(jax.random.fold_in(key, c), 3)
+            spec_c = self._sample_and_decode(
+                self.params, self.vae_params, chunk, k_s, gen
+            )  # (bucket*s, 128, 512)
+            wav_c = self._invert(spec_c, k_g, gen)
+            wavs.append(np.asarray(wav_c.reshape(bucket, s, -1)))
+            if gen.return_spec:
+                specs.append(np.asarray(
+                    spec_c.reshape(bucket, s, *spec_c.shape[1:])))
+
+        wav = np.concatenate(wavs, axis=0)[:w]        # (w, s, WINDOW_SAMPLES)
+        out = {"wav": wav.transpose(1, 0, 2).reshape(s, -1)}
+        if gen.return_spec:
+            sp = np.concatenate(specs, axis=0)[:w]    # (w, s, 128, T)
+            # per-sample time-concatenated windows → (s, 128, w·T)
+            out["spec"] = sp.transpose(1, 2, 0, 3).reshape(
+                s, sp.shape[2], -1)
         return out

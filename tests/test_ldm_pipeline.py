@@ -101,3 +101,44 @@ def test_pipeline_end_to_end_with_double_guidance(ldm_and_params):
     assert out["wav"].shape == (2, 2 * 131072)
     assert np.isfinite(out["wav"]).all()
     assert out["spec"].min() >= 0.0 and out["spec"].max() <= 1.0
+
+
+def test_bucketed_generate_matches_shape_and_determinism():
+    """bucket_windows: padded fixed-size chunks reuse one compiled program;
+    outputs cover exactly the real windows with finite audio."""
+    import numpy as np
+
+    from diff_foley_tpu.pipeline import (
+        DiffFoleyPipeline,
+        GenerationConfig,
+        WINDOW_SAMPLES,
+    )
+    from diff_foley_tpu.diffusion.latent_diffusion import (
+        LatentDiffusion,
+        LDMConfig,
+    )
+    from diff_foley_tpu.models.unet import UNetConfig
+    from diff_foley_tpu.models.vae import VAEConfig
+
+    cfg = LDMConfig(
+        unet=UNetConfig(
+            model_channels=32, num_res_blocks=1, channel_mult=(1, 2),
+            attention_resolutions=(2,), num_heads=4, context_dim=64,
+        ),
+        vae=VAEConfig(ch=32, ch_mult=(1, 2, 4, 4), num_res_blocks=1),
+        cond_embed_dim=64,
+        cond_seq_len=32,
+    )
+    ldm = LatentDiffusion(cfg)
+    pipe = DiffFoleyPipeline(
+        ldm, ldm.init_params(jax.random.PRNGKey(0)),
+        ldm.init_vae_params(jax.random.PRNGKey(1)),
+    )
+    gen = GenerationConfig(steps=2, sample_num=1, classifier_scale=0.0,
+                           gl_iters=2, return_spec=True)
+    # 3 windows, bucket 2 → 2 chunks with 1 padded window trimmed
+    feats = np.random.default_rng(0).normal(size=(96, 512)).astype(np.float32)
+    out = pipe.generate(feats, jax.random.PRNGKey(2), gen, bucket_windows=2)
+    assert out["wav"].shape == (1, 3 * WINDOW_SAMPLES)
+    assert out["spec"].shape == (1, 128, 3 * 512)
+    assert np.isfinite(out["wav"]).all()
