@@ -175,3 +175,19 @@ class CAVPModel(nn.Module):
             "spec_features": s,
             "logit_scale": jnp.exp(self.logit_scale),
         }
+
+    def forward_temporal(self, video, spec, train: bool = False):
+        """Temporal-variant forward (CLIP_Video_Spec_Temporal,
+        model.py:736-960): per-frame AND pooled features for
+        train.losses.temporal_semantic_loss."""
+        vt = self.encode_video(video, normalize=True, pool=False, train=train)
+        st = self.encode_spec(spec, normalize=True, pool=False, train=train)
+        v = self.encode_video(video, normalize=True, pool=True, train=train)
+        s = self.encode_spec(spec, normalize=True, pool=True, train=train)
+        return {
+            "video_temporal_features": vt,
+            "spec_temporal_features": st,
+            "video_mean_features": v,
+            "spec_mean_features": s,
+            "logit_scale": jnp.exp(self.logit_scale),
+        }

@@ -114,3 +114,32 @@ def test_cavp_train_step_runs_and_improves():
     # batch_stats must have been updated
     flat = jax.tree.leaves(state.batch_stats)
     assert any(float(jnp.abs(x).max()) > 0 for x in flat)
+
+
+def test_forward_temporal_pairs():
+    """CLIP_Video_Spec_Temporal forward surface: temporal + mean pairs feed
+    temporal_semantic_loss directly."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_foley_tpu.models.cavp import CAVPConfig, CAVPModel
+    from diff_foley_tpu.train.losses import temporal_semantic_loss
+
+    model = CAVPModel(CAVPConfig())
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 3)), jnp.float32)
+    spec = jnp.asarray(rng.normal(size=(2, 128, 256)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), video, spec)
+    out = model.apply(
+        variables, video, spec,
+        method=lambda m, v, s: m.forward_temporal(v, s),
+    )
+    assert out["video_temporal_features"].shape == (2, 16, 512)
+    assert out["spec_temporal_features"].shape == (2, 16, 512)
+    assert out["video_mean_features"].shape == (2, 512)
+    losses = temporal_semantic_loss(
+        out["video_mean_features"], out["spec_mean_features"],
+        out["video_temporal_features"], out["spec_temporal_features"],
+        out["logit_scale"],
+    )
+    assert np.isfinite(float(losses["total_loss"]))
