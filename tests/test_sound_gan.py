@@ -54,3 +54,23 @@ def test_sound_gan_smoke_train():
     # all terms genuinely contribute
     assert float(logs["feat_match_loss"]) > 0
     assert float(logs["freq_domain_loss"]) > 0
+
+
+def test_sound_vae_cli_smoke(tmp_path):
+    """CLI driver runs end-to-end on synthetic wavs (2 steps)."""
+    from scipy.io import wavfile
+
+    from diff_foley_tpu.cli.train_sound_vae import main
+
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        wav = (rng.normal(size=70000) * 3000).astype(np.int16)
+        wavfile.write(str(tmp_path / f"a{i}.wav"), 16000, wav)
+    main([
+        "--wav-dir", str(tmp_path), "--window", "65536",
+        "--batch-size", "1", "--steps", "2", "--disc-start", "0",
+        "--channels", "4", "--z-channels", "8",
+        "--logdir", str(tmp_path / "logs"), "--log-every", "1",
+        "--save-every", "2",
+    ])
+    assert (tmp_path / "logs" / "results.jsonl").exists()
