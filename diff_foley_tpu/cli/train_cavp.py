@@ -63,7 +63,7 @@ def parse_args(argv=None):
                         "full K*B contrastive batch semantics")
     p.add_argument("--embed-dim", type=int, default=512)
     p.add_argument("--video-encode", default="slowonly",
-                   choices=["slowonly", "x3d", "i3d", "r2plus1d"],
+                   choices=["slowonly", "x3d", "i3d", "r2plus1d", "vivit"],
                    help="video tower (reference --video_encode)")
     p.add_argument("--spec-encode", default="cnn14",
                    choices=["cnn14", "cnn10", "resnet50", "spec_vit", "spec_vit_mean"],

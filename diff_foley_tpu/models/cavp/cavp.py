@@ -79,6 +79,13 @@ class CAVPModel(nn.Module):
             self.video_encoder = ResNet2Plus1d(
                 R2Plus1dConfig(out_dim=cfg.embed_dim), axis_name=cfg.axis_name
             )
+        elif cfg.video_arch == "vivit":
+            # 'mean_vivit_*' towers (model.py:757-775): per-frame tokens →
+            # temporal projection head
+            from ..vivit import ViViTConfig, ViViTMean
+
+            self.video_encoder = ViViTMean(ViViTConfig())
+            self.video_project_head = nn.Dense(cfg.embed_dim)
         else:
             raise ValueError(f"unknown video_arch {cfg.video_arch!r}")
 
@@ -120,6 +127,13 @@ class CAVPModel(nn.Module):
         train: bool = False,
     ):
         """(B, T, H, W, 3) → (B, 512) pooled or (B, T, 512) per-frame."""
+        if self.cfg.video_arch == "vivit":
+            feat = self.video_project_head(self.video_encoder(video))
+            if pool:
+                feat = feat.mean(axis=1)  # mean_vivit semantics (model.py:873)
+            if normalize:
+                feat = _l2norm(feat)
+            return feat
         feat = self.video_encoder(video, train=train)
         if self.cfg.video_arch == "slowonly":  # (B, T, 2048) → project
             feat = self.video_project_head(feat)

@@ -257,3 +257,24 @@ def test_cavp_cnn10_factory():
     out = m.apply(v, spec, method=lambda mm, s: mm.encode_spec(
         s, pool=True, normalize=True))
     assert out.shape == (1, 512)
+
+
+def test_cavp_vivit_tower():
+    from diff_foley_tpu.models.cavp import CAVPConfig, CAVPModel
+    from diff_foley_tpu.models.vivit import ViViTConfig, ViViTMean
+
+    m = CAVPModel(CAVPConfig(video_arch="vivit"))
+    # patch 32 → 224 input; use the real config's frame count
+    video = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 16, 224, 224, 3)) * 0.1,
+        jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), video,
+               method=lambda mm, a: mm.encode_video(a, pool=False))
+    toks = m.apply(v, video,
+                   method=lambda mm, a: mm.encode_video(a, pool=False))
+    pooled = m.apply(v, video, method=lambda mm, a: mm.encode_video(
+        a, pool=True, normalize=True))
+    assert toks.shape == (1, 16, 512)
+    assert pooled.shape == (1, 512)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(pooled)), 1.0, rtol=1e-5)
