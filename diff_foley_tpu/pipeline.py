@@ -57,12 +57,46 @@ class DiffFoleyPipeline:
         vae_params=None,
         classifier=None,  # (apply_fn, params, cond_params, cond_encoder)
         melspec: MelSpec = DEFAULT_MELSPEC,
+        mesh=None,
     ):
+        """`mesh` (with a `data` axis) runs generation data-parallel over
+        chips: params replicated, windows sharded P('data'), GSPMD inserts
+        the collectives — multi-chip serving without code changes."""
         self.ldm = ldm or LatentDiffusion(LDMConfig())
         self.params = params
         self.vae_params = vae_params
         self.classifier = classifier
         self.melspec = melspec
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._repl = NamedSharding(mesh, P())
+            self._dsh = NamedSharding(mesh, P("data"))
+            self.params = jax.device_put(params, self._repl)
+            self.vae_params = jax.device_put(vae_params, self._repl)
+            if classifier is not None:
+                fn, cp, ccp, cenc = classifier
+                self.classifier = (
+                    fn, jax.device_put(cp, self._repl),
+                    jax.device_put(ccp, self._repl), cenc,
+                )
+
+    def _shard_batch(self, *arrays):
+        """Pad axis 0 to a multiple of the data-axis size and shard."""
+        if self.mesh is None:
+            return [jnp.asarray(a) for a in arrays], arrays[0].shape[0]
+        n = self.mesh.shape["data"]
+        w = arrays[0].shape[0]
+        m = -(-w // n) * n
+        out = []
+        for a in arrays:
+            a = np.asarray(a)
+            if m != w:
+                a = np.concatenate(
+                    [a, np.repeat(a[-1:], m - w, axis=0)], axis=0)
+            out.append(jax.device_put(a, self._dsh))
+        return out, w
 
     # one compiled program: windows×samples latents → specs
     @partial(jax.jit, static_argnames=("self", "gen"))
@@ -109,22 +143,23 @@ class DiffFoleyPipeline:
         if bucket_windows is not None:
             return self._generate_bucketed(
                 cavp_feats, key, gen, bucket_windows)
-        feats_w = jnp.asarray(window_features(np.asarray(cavp_feats)))
-        w = feats_w.shape[0]
+        (feats_w,), w = self._shard_batch(
+            window_features(np.asarray(cavp_feats)))
+        wp = feats_w.shape[0]  # padded window count under a mesh
         k_s, k_g = jax.random.split(key)
         specs = self._sample_and_decode(
             self.params, self.vae_params, feats_w, k_s, gen
-        )  # (w*s, 128, 512)
-        wavs = self._invert(specs, k_g, gen)  # (w*s, WINDOW_SAMPLES)
+        )  # (wp*s, 128, 512)
+        wavs = self._invert(specs, k_g, gen)  # (wp*s, WINDOW_SAMPLES)
 
         s = gen.sample_num
-        wavs = wavs.reshape(w, s, -1).transpose(1, 0, 2).reshape(s, -1)
-        out = {"wav": np.asarray(wavs)}
+        wavs = np.asarray(wavs).reshape(wp, s, -1)[:w]
+        out = {"wav": wavs.transpose(1, 0, 2).reshape(s, -1)}
         if gen.return_spec:
-            # (w*s, 128, T) → per-sample time-concatenated windows
-            specs = specs.reshape(w, s, *specs.shape[1:]).transpose(1, 0, 2, 3)
-            specs = jnp.concatenate([specs[:, i] for i in range(w)], axis=-1)
-            out["spec"] = np.asarray(specs)
+            # (wp*s, 128, T) → per-sample time-concatenated windows
+            sp = np.asarray(specs).reshape(wp, s, *specs.shape[1:])[:w]
+            out["spec"] = sp.transpose(1, 2, 0, 3).reshape(
+                s, sp.shape[2], -1)
         return out
 
     def _generate_bucketed(self, cavp_feats, key, gen, bucket: int):
@@ -139,10 +174,18 @@ class DiffFoleyPipeline:
             feats_w = np.concatenate(
                 [feats_w, np.repeat(feats_w[-1:], pad, axis=0)], axis=0)
 
+        if self.mesh is not None:
+            assert bucket % self.mesh.shape["data"] == 0, (
+                "bucket_windows must divide over the data mesh axis"
+            )
         s = gen.sample_num
         wavs, specs = [], []
         for c in range(n_chunks):
-            chunk = jnp.asarray(feats_w[c * bucket : (c + 1) * bucket])
+            chunk = feats_w[c * bucket : (c + 1) * bucket]
+            if self.mesh is None:
+                chunk = jnp.asarray(chunk)
+            else:
+                chunk = jax.device_put(chunk, self._dsh)
             k_s, k_g, key = jax.random.split(jax.random.fold_in(key, c), 3)
             spec_c = self._sample_and_decode(
                 self.params, self.vae_params, chunk, k_s, gen
