@@ -47,6 +47,15 @@ def parse_args(argv=None):
     p.add_argument("--vae-ckpt", type=str, default=None,
                    help="torch VAE/LDM ckpt to convert for the frozen first stage")
     p.add_argument("--tiny", action="store_true", help="tiny model for smoke runs")
+    p.add_argument("--data-duration", type=float, default=10.0,
+                   help="pad-by-tiling target seconds (reference duration)")
+    p.add_argument("--data-truncate", type=int, default=131072,
+                   help="crop length in samples (reference truncate; "
+                        "131072 = 8.192 s → 512 spec frames)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="fully shard params/Adam state/EMA over the data "
+                        "axis (ZeRO-3 semantics via GSPMD) instead of "
+                        "replicating them")
     return p.parse_args(argv)
 
 
@@ -92,7 +101,10 @@ def main(argv=None):
         base_lr=args.base_lr, warmup_steps=args.warmup_steps,
         use_ema=args.use_ema, accum_steps=args.accum_steps,
     )
-    dataset = SpecFeatDataset.from_split_file(args.data_dir, "train")
+    dcfg = LDMDataConfig(
+        duration=args.data_duration, truncate=args.data_truncate
+    )
+    dataset = SpecFeatDataset.from_split_file(args.data_dir, "train", cfg=dcfg)
     loader = PrefetchLoader(
         dataset, args.batch_size,
         process_index=jax.process_index(), process_count=jax.process_count(),
@@ -101,7 +113,8 @@ def main(argv=None):
     val_loader = None
     if args.val_every:
         try:
-            val_ds = SpecFeatDataset.from_split_file(args.data_dir, "valid")
+            val_ds = SpecFeatDataset.from_split_file(
+                args.data_dir, "valid", cfg=dcfg)
         except FileNotFoundError:
             val_ds = dataset  # fall back: monitor on train split
         val_loader = PrefetchLoader(
@@ -127,18 +140,23 @@ def main(argv=None):
         state = mgr.restore(state)
         print(f"resumed from step {int(state.step)}")
 
-    state = jax.device_put(state, repl)
+    if args.fsdp:
+        from ..parallel.sharding_rules import shard_state_fsdp
+
+        state, state_sh = shard_state_fsdp(state, mesh)
+    else:
+        state, state_sh = jax.device_put(state, repl), repl
     vae_params = jax.device_put(vae_params, repl)
     train_step = make_train_step(ldm, tcfg)
     step_fn = jax.jit(
         train_step,
-        in_shardings=(repl, repl, dsh, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, repl, dsh, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
     eval_fn = jax.jit(
         train_step.eval_step,
-        in_shardings=(repl, repl, dsh, repl), out_shardings=repl,
+        in_shardings=(state_sh, repl, dsh, repl), out_shardings=repl,
     )
     logger = MetricsLogger(args.logdir, use_tensorboard=True)
     sound = (

@@ -145,7 +145,11 @@ class SpecFeatDataset:
                 "labels": np.asarray(label, np.int32),
             }
 
-        if mixed:
+        # concat-mix needs room for two ≥min_duration segments inside the
+        # crop; shorter operating points fall back to the single-crop mode
+        total = self.cfg.truncate // self.cfg.hop_len
+        min_frames = self.cfg.min_duration * self.cfg.sr // self.cfg.hop_len
+        if mixed and total > 2 * min_frames:
             j = idx
             while j == idx:
                 j = int(self._rng.integers(0, len(self)))

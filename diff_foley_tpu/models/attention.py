@@ -22,6 +22,20 @@ from ..ops.attention import multi_head_attention
 from .layers import conv1x1
 
 
+def _remat_policy_fn(name: str):
+    """Remat save-policy by name. "dots" keeps matmul results from the
+    forward (backward skips recomputing QK^T/PV/FFN matmuls at the cost of
+    activation HBM); "dots_no_batch" keeps only contraction results with no
+    batch dims (cheap, mostly FFN weights-side); "none" recomputes all."""
+    if name in ("none", None, ""):
+        return None
+    return {
+        "dots": jax.checkpoint_policies.checkpoint_dots,
+        "dots_no_batch":
+            jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+    }[name]
+
+
 class CrossAttention(nn.Module):
     """Q from x, K/V from context (attention_openai.py:152-193).
 
@@ -104,6 +118,8 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     dropout: float = 0.0
     remat: bool = False
+    remat_policy: str = "none"  # none | dots | dots_no_batch — what the
+    #                             rematted blocks may keep from the forward
 
     @nn.compact
     def __call__(self, x, context=None, deterministic: bool = True):
@@ -115,7 +131,11 @@ class SpatialTransformer(nn.Module):
         x = x.reshape(b, h * w, inner)
         block_cls = BasicTransformerBlock
         if self.remat:
-            block_cls = nn.remat(BasicTransformerBlock, static_argnums=(3,))
+            block_cls = nn.remat(
+                BasicTransformerBlock,
+                static_argnums=(3,),
+                policy=_remat_policy_fn(self.remat_policy),
+            )
         for i in range(self.depth):
             x = block_cls(
                 self.heads, self.dim_head, self.dropout, name=f"block{i}"

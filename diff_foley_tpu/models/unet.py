@@ -51,6 +51,7 @@ class UNetConfig:
     context_dim: int = 768
     dropout: float = 0.0
     use_checkpoint: bool = False
+    remat_policy: str = "none"  # none | dots | dots_no_batch (training knob)
     num_classes: int = 0  # >0 enables class conditioning (the 'adm' mode)
     pos_seq_len: int = 0  # >0 → ResBlock time-axis pos-emb (the
     #                       openai_unetmodel_pos.py variant)
@@ -103,6 +104,7 @@ class UNetModel(nn.Module):
                 depth=cfg.transformer_depth,
                 dropout=cfg.dropout,
                 remat=cfg.use_checkpoint,
+                remat_policy=cfg.remat_policy,
                 name=name,
             )
 
@@ -289,6 +291,7 @@ class ClassifierBackbone(nn.Module):
                 depth=cfg.transformer_depth,
                 dropout=cfg.dropout,
                 remat=cfg.use_checkpoint,
+                remat_policy=cfg.remat_policy,
                 name=name,
             )
 
