@@ -348,6 +348,57 @@ def export_cond_encoder(params: Dict, prefix: str = "") -> Dict:
     return m.out
 
 
+def _token_transformer_blocks(m: _Mapper, my: str, torch: str, depth: int):
+    """BasicTransformerBlock stack mapping (shared with spatial_transformer)."""
+    for d in range(depth):
+        tb = f"{torch}.transformer_blocks.{d}"
+        mb = f"{my}/block{d}"
+        for n in (1, 2, 3):
+            m.gn_flat(f"{mb}/norm{n}", f"{tb}.norm{n}")
+        for a in ("attn1", "attn2"):
+            m.dense(f"{mb}/{a}/to_q", f"{tb}.{a}.to_q", bias=False)
+            m.dense(f"{mb}/{a}/to_k", f"{tb}.{a}.to_k", bias=False)
+            m.dense(f"{mb}/{a}/to_v", f"{tb}.{a}.to_v", bias=False)
+            m.dense(f"{mb}/{a}/to_out", f"{tb}.{a}.to_out.0")
+        m.dense(f"{mb}/ff/geglu/proj", f"{tb}.ff.net.0.proj")
+        m.dense(f"{mb}/ff/out", f"{tb}.ff.net.2")
+
+
+def convert_cond_encoder_mlp(sd: StateDict, prefix: str = "") -> Dict:
+    """Video_Feat_Encoder (adm video_feat_encoder.py:6-23) → flax params."""
+    m = _Mapper(sd, prefix)
+    m.dense("embedder_0", "embedder.0")
+    m.dense("embedder_2", "embedder.2")
+    return {"params": m.tree}
+
+
+def convert_cond_encoder_simple(sd: StateDict, prefix: str = "") -> Dict:
+    """Video_Feat_Encoder_simple (video_feat_encoder.py:28-39)."""
+    m = _Mapper(sd, prefix)
+    m.dense("embedder", "embedder.0")
+    return {"params": m.tree}
+
+
+def convert_cond_encoder_ar(
+    sd: StateDict, prefix: str = "", depth: int = 2
+) -> Dict:
+    """Video_Feat_Encoder_Posembed_AR (video_feat_encoder.py:91-127) +
+    FusionNet/SpatialTransformer_Cond → flax params."""
+    m = _Mapper(sd, prefix)
+    m.dense("embed_video_feat", "embed_video_feat.0")
+    m.conv("embed_spec_feat", "embed_spec_feat.0")
+    m.take("pos_emb_video", "pos_emb_video.weight", _id)
+    m.take("pos_emb_spec", "pos_emb_spec.weight", _id)
+    fm = "fusion_net/fusion_module"
+    tt = "fusion_net.fusion_module"
+    m.gn_flat(f"{fm}/norm", f"{tt}.norm")
+    m.dense(f"{fm}/proj_in", f"{tt}.proj_in")
+    _token_transformer_blocks(m, fm, tt, depth)
+    m.dense(f"{fm}/proj_out", f"{tt}.proj_out")
+    m.dense("fusion_net/proj_out", "fusion_net.proj_out.0")
+    return {"params": m.tree}
+
+
 def export_ldm_state_dict(params: Dict, vae_params: Dict, unet_cfg, vae_cfg) -> Dict:
     """Full LatentDiffusion composite export: the inverse of
     split_ldm_state_dict + the three converters — lets a model trained here
