@@ -29,6 +29,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--vae-ckpt", default=None)
+    p.add_argument("--tiny", action="store_true", help="tiny model for smoke runs")
+    p.add_argument("--data-duration", type=float, default=10.0)
+    p.add_argument("--data-truncate", type=int, default=131072)
     return p.parse_args(argv)
 
 
@@ -37,14 +40,29 @@ def main(argv=None):
     from ..utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
-    from ..data.ldm_dataset import SpecFeatDataset
+    from ..data.ldm_dataset import LDMDataConfig, SpecFeatDataset
     from ..data.loader import PrefetchLoader
     from ..parallel.mesh import make_mesh
     from ..train.classifier import ClassifierTrainConfig, ClassifierTrainer
     from ..utils.checkpoint import CheckpointManager
     from ..utils.logging import MetricsLogger
 
-    trainer = ClassifierTrainer(cfg=ClassifierTrainConfig(lr=args.lr))
+    if args.tiny:
+        from ..models.unet import UNetConfig
+        from ..models.vae import AutoencoderKL, VAEConfig
+
+        trainer = ClassifierTrainer(
+            backbone_cfg=UNetConfig(
+                out_channels=1, model_channels=32, num_res_blocks=1,
+                channel_mult=(1, 2), attention_resolutions=(2,),
+                num_heads=4, context_dim=24,
+            ),
+            vae=AutoencoderKL(VAEConfig(ch=32, ch_mult=(1, 2),
+                                        num_res_blocks=1)),
+            cfg=ClassifierTrainConfig(lr=args.lr),
+        )
+    else:
+        trainer = ClassifierTrainer(cfg=ClassifierTrainConfig(lr=args.lr))
     if args.vae_ckpt:
         from ..utils.checkpoint import load_reference_ldm
         from ..diffusion.latent_diffusion import LatentDiffusion
@@ -58,7 +76,9 @@ def main(argv=None):
         )
 
     dataset = SpecFeatDataset.from_split_file(
-        args.data_dir, "train", alignment_labels=True
+        args.data_dir, "train", alignment_labels=True,
+        cfg=LDMDataConfig(duration=args.data_duration,
+                          truncate=args.data_truncate),
     )
     loader = PrefetchLoader(
         dataset, args.batch_size,
