@@ -64,7 +64,9 @@ V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s (MXU)
 
 
 def _timed(fn, *args, iters=5):
-    """Median wall-time with a forced scalar host readback per call."""
+    """Median wall-time with a forced scalar host readback per call.
+    NOTE: includes one relay dispatch+readback round trip (~25-30 ms on the
+    axon link) — see _timed_chained for the amortized on-device time."""
     out = fn(*args)
     _ = float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).sum())  # compile
     times = []
@@ -73,6 +75,23 @@ def _timed(fn, *args, iters=5):
         out = fn(*args)
         _ = float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).sum())
         times.append(time.time() - t0)
+    return float(np.median(times))
+
+
+def _timed_chained(step_fn, x0, iters=5, chain=10):
+    """Amortized per-call time: chain the fn on its own output `chain` times
+    with ONE readback — what a scanned sampler step actually costs (the
+    relay's per-dispatch latency is amortized away)."""
+    out = step_fn(x0)
+    _ = float(jnp.asarray(out).sum())
+    times = []
+    for _i in range(iters):
+        x = x0
+        t0 = time.time()
+        for _c in range(chain):
+            x = step_fn(x)
+        _ = float(jnp.asarray(x).sum())
+        times.append((time.time() - t0) / chain)
     return float(np.median(times))
 
 
@@ -88,8 +107,13 @@ def bench_components(pipe, extras):
     unet_fwd = jax.jit(
         lambda p, x_, t_, c_: ldm.unet.apply(p["unet"], x_, t_, c_)
     )
-    dt = _timed(unet_fwd, params, x, t, ctx)
+    dt = _timed_chained(
+        lambda x_: unet_fwd(params, x_.astype(jnp.bfloat16), t, ctx), x
+    )
     extras["unet_fwd_ms"] = round(dt * 1e3, 2)
+    extras["dispatch_ms"] = round(
+        (_timed(unet_fwd, params, x, t, ctx) - dt) * 1e3, 1
+    )  # relay round-trip latency a single dispatch pays on top
     try:
         costs = jax.jit(
             lambda p, x_, t_, c_: ldm.unet.apply(p["unet"], x_, t_, c_)
