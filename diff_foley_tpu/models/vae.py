@@ -149,6 +149,112 @@ class Decoder(nn.Module):
         return conv3x3(cfg.out_channels, name="conv_out")(h)
 
 
+class SimpleDecoder(nn.Module):
+    """1×1 conv → 3 ResnetBlocks (2x→4x→2x widths) → 1×1 conv → upsample →
+    norm/silu/3×3 out (stage1_autoencoder/model.py:666-699)."""
+
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        c = self.in_channels
+        x = conv1x1(c, name="conv0")(x)
+        x = VAEResnetBlock(2 * c, name="res1")(x, deterministic)
+        x = VAEResnetBlock(4 * c, name="res2")(x, deterministic)
+        x = VAEResnetBlock(2 * c, name="res3")(x, deterministic)
+        x = conv1x1(c, name="conv4")(x)
+        x = VAEUpsample(c, name="upsample")(x)
+        h = _norm("norm_out")(x)
+        h = jax.nn.silu(h)
+        return conv3x3(self.out_channels, name="conv_out")(h)
+
+
+class UpsampleDecoder(nn.Module):
+    """Per-level (num_res_blocks+1) ResnetBlocks + upsample, then
+    norm/silu/3×3 out (model.py:702-747)."""
+
+    out_channels: int
+    ch: int
+    num_res_blocks: int
+    ch_mult: Sequence[int] = (2, 2)
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = x
+        for level, mult in enumerate(self.ch_mult):
+            ch = self.ch * mult
+            for i in range(self.num_res_blocks + 1):
+                h = VAEResnetBlock(
+                    ch, self.dropout, name=f"res_{level}_{i}"
+                )(h, deterministic)
+            if level != len(self.ch_mult) - 1:
+                h = VAEUpsample(ch, name=f"up_{level}")(h)
+        h = _norm("norm_out")(h)
+        h = jax.nn.silu(h)
+        return conv3x3(self.out_channels, name="conv_out")(h)
+
+
+def _torch_nearest_resize(x, out_h: int, out_w: int):
+    """torch F.interpolate(mode='nearest', size=...) index semantics:
+    src = floor(dst · in/out) — NHWC."""
+    in_h, in_w = x.shape[1], x.shape[2]
+    hi = jnp.floor(jnp.arange(out_h) * (in_h / out_h)).astype(jnp.int32)
+    wi = jnp.floor(jnp.arange(out_w) * (in_w / out_w)).astype(jnp.int32)
+    return x[:, hi][:, :, wi]
+
+
+class LatentRescaler(nn.Module):
+    """conv-in → depth ResnetBlocks → nearest-resize by `factor` → attn →
+    depth ResnetBlocks → 1×1 conv-out (model.py:750-780)."""
+
+    factor: float
+    mid_channels: int
+    out_channels: int
+    depth: int = 2
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = conv3x3(self.mid_channels, name="conv_in")(x)
+        for i in range(self.depth):
+            x = VAEResnetBlock(self.mid_channels, name=f"res1_{i}")(
+                x, deterministic
+            )
+        x = _torch_nearest_resize(
+            x,
+            int(round(x.shape[1] * self.factor)),
+            int(round(x.shape[2] * self.factor)),
+        )
+        x = VAEAttnBlock(name="attn")(x)
+        for i in range(self.depth):
+            x = VAEResnetBlock(self.mid_channels, name=f"res2_{i}")(
+                x, deterministic
+            )
+        return conv1x1(self.out_channels, name="conv_out")(x)
+
+
+class IdentityFirstStage:
+    """Pass-through first stage (models/autoencoder.py:426-441)."""
+
+    def __init__(self, vq_interface: bool = False):
+        self.vq_interface = vq_interface
+
+    def encode(self, x, *a, **k):
+        return x
+
+    def decode(self, x, *a, **k):
+        return x
+
+    def quantize(self, x, *a, **k):
+        if self.vq_interface:
+            return x, None, [None, None, None]
+        return x
+
+    def __call__(self, x, *a, **k):
+        return x
+
+
 class DiagonalGaussian:
     """Posterior N(mean, diag σ²) over latents (models/distribution.py:3-43)."""
 

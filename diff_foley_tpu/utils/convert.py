@@ -316,6 +316,59 @@ def _vae_resblock(m: _Mapper, my: str, torch: str, has_skip: bool) -> None:
         m.conv(f"{my}/nin_shortcut", f"{torch}.nin_shortcut")
 
 
+def convert_simple_decoder(sd: StateDict, prefix: str = "") -> Dict:
+    """SimpleDecoder (stage1_autoencoder/model.py:666-699) → flax params."""
+    m = _Mapper(sd, prefix)
+    m.conv("conv0", "model.0")
+    for i, my in enumerate(("res1", "res2", "res3"), start=1):
+        _vae_resblock(m, my, f"model.{i}", has_skip=True)
+    m.conv("conv4", "model.4")
+    m.conv("upsample/conv", "model.5.conv")
+    m.gn_flat("norm_out", "norm_out")
+    m.conv("conv_out", "conv_out")
+    return {"params": m.tree}
+
+
+def convert_upsample_decoder(
+    sd: StateDict, in_channels: int, ch: int, num_res_blocks: int,
+    ch_mult=(2, 2), prefix: str = "",
+) -> Dict:
+    """UpsampleDecoder (model.py:702-747) → flax params."""
+    m = _Mapper(sd, prefix)
+    block_in = in_channels
+    for level, mult in enumerate(ch_mult):
+        block_out = ch * mult
+        for i in range(num_res_blocks + 1):
+            _vae_resblock(
+                m, f"res_{level}_{i}", f"res_blocks.{level}.{i}",
+                has_skip=block_in != block_out,
+            )
+            block_in = block_out
+        if level != len(ch_mult) - 1:
+            m.conv(f"up_{level}/conv", f"upsample_blocks.{level}.conv")
+    m.gn_flat("norm_out", "norm_out")
+    m.conv("conv_out", "conv_out")
+    return {"params": m.tree}
+
+
+def convert_latent_rescaler(
+    sd: StateDict, depth: int = 2, prefix: str = "",
+) -> Dict:
+    """LatentRescaler (model.py:750-780) → flax params. All ResnetBlocks are
+    mid→mid (conv_in projects first), so none have a shortcut conv."""
+    m = _Mapper(sd, prefix)
+    m.conv("conv_in", "conv_in")
+    for i in range(depth):
+        _vae_resblock(m, f"res1_{i}", f"res_block1.{i}", has_skip=False)
+    m.gn_flat("attn/norm", "attn.norm")
+    for p in ("q", "k", "v", "proj_out"):
+        m.conv(f"attn/{p}", f"attn.{p}")
+    for i in range(depth):
+        _vae_resblock(m, f"res2_{i}", f"res_block2.{i}", has_skip=False)
+    m.conv("conv_out", "conv_out")
+    return {"params": m.tree}
+
+
 def convert_vae(sd: StateDict, cfg, prefix: str = "", mapper=None) -> Dict:
     """AutoencoderKL state dict → flax params for models.vae.AutoencoderKL."""
     m = mapper or _Mapper(sd, prefix)
