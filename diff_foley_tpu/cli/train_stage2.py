@@ -128,6 +128,9 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed)
     state = init_train_state(ldm, key, tcfg)
+    from ..utils.profiling import count_params
+
+    count_params(state.params, verbose=True, name="LatentDiffusion")
     if args.vae_ckpt:
         from ..utils.checkpoint import load_reference_ldm
 

@@ -17,6 +17,16 @@ import jax
 import jax.numpy as jnp
 
 
+def count_params(tree, verbose: bool = False, name: str = "model") -> int:
+    """Total parameter count of a pytree (util.py:251-255)."""
+    total = sum(
+        x.size for x in jax.tree.leaves(tree) if hasattr(x, "size")
+    )
+    if verbose:
+        print(f"{name} has {total * 1e-6:.2f} M params.")
+    return total
+
+
 def cost_analysis(fn: Callable, *args, **kwargs) -> Dict[str, float]:
     """FLOPs / bytes for a jittable fn at the given example args."""
     lowered = jax.jit(fn).lower(*args, **kwargs)
