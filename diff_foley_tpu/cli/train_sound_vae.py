@@ -52,11 +52,16 @@ def iter_wav_batches(paths, window, batch_size, seed):
                 _, wav = wavfile.read(path)
             except Exception:
                 continue
+            # scale by the SOURCE dtype's full range (int32 wavs are
+            # full-scale 2^31, not 2^15); float wavs are already [-1, 1]
+            src_dtype = wav.dtype
             if wav.ndim > 1:
                 wav = wav.mean(axis=1)
-            wav = wav.astype(np.float32)
-            if wav.dtype != np.float32 or np.abs(wav).max() > 1.5:
-                wav = wav / 32768.0
+            if np.issubdtype(src_dtype, np.integer):
+                scale = float(np.iinfo(src_dtype).max) + 1.0
+                wav = wav.astype(np.float32) / scale
+            else:
+                wav = wav.astype(np.float32)
             if len(wav) < window:
                 wav = np.pad(wav, (0, window - len(wav)))
             start = rng.integers(max(len(wav) - window, 0) + 1)

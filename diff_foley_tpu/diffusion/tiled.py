@@ -106,6 +106,14 @@ def tiled_apply(
     # reference clamps kernel/stride to the canvas (ddpm.py:755-761)
     ks = (min(ks[0], h), min(ks[1], w))
     stride = (min(stride[0], h), min(stride[1], w))
+    # the patch grid must cover the whole canvas or the uncovered strip gets
+    # 0/0 = NaN in the overlap-normalised fold (torch's Unfold silently
+    # drops the remainder; shapes are static so fail at trace time instead)
+    if (h - ks[0]) % stride[0] != 0 or (w - ks[1]) % stride[1] != 0:
+        raise ValueError(
+            f"canvas {h}x{w} is not covered by ks={ks}, stride={stride}: "
+            "(dim - ks) must be divisible by stride"
+        )
     offsets, ly, lx = _grid(h, w, ks, stride)
     L = len(offsets)
 

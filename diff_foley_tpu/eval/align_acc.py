@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.padding import pad_axis0 as _pad_to
+
 
 def make_align_acc_fn(
     classifier_trainer,
@@ -67,13 +69,6 @@ def make_align_acc_fn(
         ),
         out_shardings=(repl, repl),
     )
-
-
-def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
-    if x.shape[0] == n:
-        return x
-    pad = np.repeat(x[-1:], n - x.shape[0], axis=0)
-    return np.concatenate([x, pad], axis=0)
 
 
 def alignment_accuracy(

@@ -193,15 +193,41 @@ class CAVPModel(nn.Module):
     def forward_temporal(self, video, spec, train: bool = False):
         """Temporal-variant forward (CLIP_Video_Spec_Temporal,
         model.py:736-960): per-frame AND pooled features for
-        train.losses.temporal_semantic_loss."""
-        vt = self.encode_video(video, normalize=True, pool=False, train=train)
-        st = self.encode_spec(spec, normalize=True, pool=False, train=train)
-        v = self.encode_video(video, normalize=True, pool=True, train=train)
-        s = self.encode_spec(spec, normalize=True, pool=True, train=train)
+        train.losses.temporal_semantic_loss.
+
+        ONE tower pass per modality: the reference pools the unnormalized
+        temporal features (model.py:856-863,900-907) and then normalizes
+        both, which is exactly l2norm(pool(raw)) — no second encoder run.
+        """
+        vt_raw = self.encode_video(
+            video, normalize=False, pool=False, train=train
+        )
+        if self.cfg.video_arch == "vivit":  # mean_vivit (model.py:871-873)
+            v_raw = vt_raw.mean(axis=1)
+        else:
+            v_raw = _max_pool_time(vt_raw, self.cfg.pool_kernel)
+            v_raw = v_raw.squeeze(1) if v_raw.shape[1] == 1 else v_raw
+
+        if self.cfg.spec_arch == "spec_vit":
+            # cls-token pooled feature: both outputs come from the one
+            # encoder call (model.py:910-913)
+            pooled, tokens = self.spec_encoder(spec)
+            st_raw = self.spec_project_head(tokens)
+            s_raw = self.spec_project_head(pooled)
+        else:
+            st_raw = self.encode_spec(
+                spec, normalize=False, pool=False, train=train
+            )
+            if self.cfg.spec_arch == "spec_vit_mean":
+                s_raw = st_raw.mean(axis=1)
+            else:
+                s_raw = _max_pool_time(st_raw, self.cfg.pool_kernel)
+                s_raw = s_raw.squeeze(1) if s_raw.shape[1] == 1 else s_raw
+
         return {
-            "video_temporal_features": vt,
-            "spec_temporal_features": st,
-            "video_mean_features": v,
-            "spec_mean_features": s,
+            "video_temporal_features": _l2norm(vt_raw),
+            "spec_temporal_features": _l2norm(st_raw),
+            "video_mean_features": _l2norm(v_raw),
+            "spec_mean_features": _l2norm(s_raw),
             "logit_scale": jnp.exp(self.logit_scale),
         }

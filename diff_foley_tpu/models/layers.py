@@ -153,6 +153,13 @@ class ResBlock(nn.Module):
         else:
             h = h + emb_out
             if self.pos_seq_len:
+                # shapes are static under trace: fail loudly instead of
+                # jax's silent out-of-bounds gather clamp (torch would raise)
+                if h.shape[2] > self.pos_seq_len:
+                    raise ValueError(
+                        f"feature width {h.shape[2]} exceeds pos_seq_len "
+                        f"{self.pos_seq_len}"
+                    )
                 pos = nn.Embed(
                     self.pos_seq_len, self.out_channels, name="pos_emb"
                 )(jnp.arange(h.shape[2]))

@@ -22,6 +22,7 @@ import numpy as np
 
 from .audio.transforms import DEFAULT_MELSPEC, MelSpec, mel_to_wav
 from .diffusion.latent_diffusion import LatentDiffusion, LDMConfig
+from .utils.padding import pad_axis0_to_multiple
 
 WINDOW_FEATS = 32          # CAVP features per window (notebook truncate_len)
 WINDOW_SAMPLES = 131072    # 8.192 s at 16 kHz
@@ -88,14 +89,10 @@ class DiffFoleyPipeline:
             return [jnp.asarray(a) for a in arrays], arrays[0].shape[0]
         n = self.mesh.shape["data"]
         w = arrays[0].shape[0]
-        m = -(-w // n) * n
-        out = []
-        for a in arrays:
-            a = np.asarray(a)
-            if m != w:
-                a = np.concatenate(
-                    [a, np.repeat(a[-1:], m - w, axis=0)], axis=0)
-            out.append(jax.device_put(a, self._dsh))
+        out = [
+            jax.device_put(pad_axis0_to_multiple(a, n), self._dsh)
+            for a in arrays
+        ]
         return out, w
 
     # one compiled program: windows×samples latents → specs
@@ -169,10 +166,7 @@ class DiffFoleyPipeline:
         feats_w = np.asarray(window_features(np.asarray(cavp_feats)))
         w = feats_w.shape[0]
         n_chunks = -(-w // bucket)
-        pad = n_chunks * bucket - w
-        if pad:
-            feats_w = np.concatenate(
-                [feats_w, np.repeat(feats_w[-1:], pad, axis=0)], axis=0)
+        feats_w = pad_axis0_to_multiple(feats_w, bucket)
 
         if self.mesh is not None:
             assert bucket % self.mesh.shape["data"] == 0, (

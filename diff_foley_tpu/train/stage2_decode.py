@@ -191,14 +191,30 @@ class GANDecoderWrapper(DecoderWrapper):
             params = optax.apply_updates(state.params, updates)
 
             def d_loss_fn(disc_params):
+                # train=True/mutable so the discriminator's BN statistics
+                # update each step (they are persisted into the new state
+                # below, matching VAETrainer.disc_loss_fn in train/vae.py)
                 t = min(rec.shape[-1], spec.shape[-1])
-                lr_ = disc_apply(disc_params, state.disc_stats,
-                                 spec[..., :t][..., None])
-                lf_ = disc_apply(disc_params, state.disc_stats,
-                                 jax.lax.stop_gradient(rec)[..., None])
-                return discriminator_loss(lr_, lf_, state.step, lcfg)
+                lr_, mut = self.disc.apply(
+                    {"params": disc_params,
+                     "batch_stats": state.disc_stats},
+                    spec[..., :t][..., None],
+                    train=True, mutable=["batch_stats"],
+                )
+                lf_, mut = self.disc.apply(
+                    {"params": disc_params,
+                     "batch_stats": mut["batch_stats"]},
+                    jax.lax.stop_gradient(rec)[..., None],
+                    train=True, mutable=["batch_stats"],
+                )
+                return (
+                    discriminator_loss(lr_, lf_, state.step, lcfg),
+                    mut["batch_stats"],
+                )
 
-            dl, dgrads = jax.value_and_grad(d_loss_fn)(state.disc_params)
+            (dl, disc_stats), dgrads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(state.disc_params)
             dupdates, disc_opt_state = self.disc_tx.update(
                 dgrads, state.disc_opt_state)
             disc_params = optax.apply_updates(state.disc_params, dupdates)
@@ -207,7 +223,7 @@ class GANDecoderWrapper(DecoderWrapper):
             logs["d_loss"] = dl
             return (
                 GANDecodeState(state.step + 1, params, disc_params,
-                               state.disc_stats, opt_state, disc_opt_state),
+                               disc_stats, opt_state, disc_opt_state),
                 logs,
             )
 

@@ -84,7 +84,14 @@ class VAETrainer:
                 p = jax.tree_util.tree_map(lambda a: a, params)
                 p["params"]["decoder"]["conv_out"]["kernel"] = kernel
                 r, _ = self.vae.apply(p, x, key=key, sample_posterior=True)
-                return jnp.sum(jnp.abs(x - r)) / x.shape[0]
+                # same rec term as generator_loss, INCLUDING the perceptual
+                # component — the reference's d_weight probes grad(nll) of
+                # the full pixel+LPIPS loss (decoder_loss.py:96-104)
+                rl = jnp.abs(x - r)
+                if self.perceptual_fn is not None and lcfg.perceptual_weight > 0:
+                    rl = rl + lcfg.perceptual_weight * self.perceptual_fn(x, r)
+                rl = rl / jnp.exp(lcfg.logvar_init)
+                return jnp.sum(rl) / x.shape[0]
 
             def g_of_last(kernel):
                 p = jax.tree_util.tree_map(lambda a: a, params)

@@ -95,18 +95,7 @@ class _Mapper:
     def spatial_transformer(self, my: str, torch: str, depth: int = 1) -> None:
         self.gn_flat(f"{my}/norm", f"{torch}.norm")
         self.conv(f"{my}/proj_in", f"{torch}.proj_in")
-        for d in range(depth):
-            tb = f"{torch}.transformer_blocks.{d}"
-            mb = f"{my}/block{d}"
-            for n in (1, 2, 3):
-                self.gn_flat(f"{mb}/norm{n}", f"{tb}.norm{n}")
-            for a in ("attn1", "attn2"):
-                self.dense(f"{mb}/{a}/to_q", f"{tb}.{a}.to_q", bias=False)
-                self.dense(f"{mb}/{a}/to_k", f"{tb}.{a}.to_k", bias=False)
-                self.dense(f"{mb}/{a}/to_v", f"{tb}.{a}.to_v", bias=False)
-                self.dense(f"{mb}/{a}/to_out", f"{tb}.{a}.to_out.0")
-            self.dense(f"{mb}/ff/geglu/proj", f"{tb}.ff.net.0.proj")
-            self.dense(f"{mb}/ff/out", f"{tb}.ff.net.2")
+        _token_transformer_blocks(self, my, torch, depth)
         self.conv(f"{my}/proj_out", f"{torch}.proj_out")
 
 
@@ -402,10 +391,14 @@ def export_cond_encoder(params: Dict, prefix: str = "") -> Dict:
 
 
 def _token_transformer_blocks(m: _Mapper, my: str, torch: str, depth: int):
-    """BasicTransformerBlock stack mapping (shared with spatial_transformer)."""
+    """BasicTransformerBlock stack mapping — the ONE copy of this loop
+    (used by _Mapper.spatial_transformer, the 1D converter, and FusionNet).
+    Empty `my`/`torch` prefixes map blocks at the root."""
+    myp = f"{my}/" if my else ""
+    tp = f"{torch}." if torch else ""
     for d in range(depth):
-        tb = f"{torch}.transformer_blocks.{d}"
-        mb = f"{my}/block{d}"
+        tb = f"{tp}transformer_blocks.{d}"
+        mb = f"{myp}block{d}"
         for n in (1, 2, 3):
             m.gn_flat(f"{mb}/norm{n}", f"{tb}.norm{n}")
         for a in ("attn1", "attn2"):
@@ -1001,18 +994,7 @@ def convert_spatial_transformer1d(sd: StateDict, prefix: str = "",
     m = _Mapper(sd, prefix)
     m.gn_flat("norm", "norm")
     _conv1d_full(m, "proj_in", "proj_in")
-    for d in range(depth):
-        tb = f"transformer_blocks.{d}"
-        mb = f"block{d}"
-        for n in (1, 2, 3):
-            m.gn_flat(f"{mb}/norm{n}", f"{tb}.norm{n}")
-        for a in ("attn1", "attn2"):
-            m.dense(f"{mb}/{a}/to_q", f"{tb}.{a}.to_q", bias=False)
-            m.dense(f"{mb}/{a}/to_k", f"{tb}.{a}.to_k", bias=False)
-            m.dense(f"{mb}/{a}/to_v", f"{tb}.{a}.to_v", bias=False)
-            m.dense(f"{mb}/{a}/to_out", f"{tb}.{a}.to_out.0")
-        m.dense(f"{mb}/ff/geglu/proj", f"{tb}.ff.net.0.proj")
-        m.dense(f"{mb}/ff/out", f"{tb}.ff.net.2")
+    _token_transformer_blocks(m, "", "", depth)
     _conv1d_full(m, "proj_out", "proj_out")
     return {"params": m.tree}
 

@@ -123,3 +123,108 @@ def test_pipeline_classifier_scale_without_classifier():
         GenerationConfig(steps=2, sample_num=1, gl_iters=2),
     )
     assert np.isfinite(out["wav"]).all()
+
+
+def test_wav_scaling_respects_source_dtype(tmp_path):
+    """Round-2 review: int32 wavs are full-scale 2^31 (not 2^15) and float
+    wavs are already [-1, 1] — both must land in [-1, 1]."""
+    from scipy.io import wavfile
+
+    from diff_foley_tpu.cli.train_sound_vae import iter_wav_batches
+
+    rng = np.random.default_rng(0)
+    w32 = (rng.uniform(-0.5, 0.5, 4096) * 2**31).astype(np.int32)
+    wavfile.write(tmp_path / "a.wav", 16000, w32)
+    wf = rng.uniform(-0.5, 0.5, 4096).astype(np.float32)
+    wavfile.write(tmp_path / "b.wav", 16000, wf)
+    w16 = (rng.uniform(-0.5, 0.5, 4096) * 2**15).astype(np.int16)
+    wavfile.write(tmp_path / "c.wav", 16000, w16)
+
+    for i, path in enumerate(sorted(tmp_path.glob("*.wav"))):
+        batch = next(iter_wav_batches([str(path)], 2048, 2, seed=i))
+        assert np.abs(batch).max() <= 1.0 + 1e-6, path.name
+        assert np.abs(batch).max() > 0.05, path.name  # not crushed to ~0
+
+
+def test_gan_decoder_updates_disc_batch_stats():
+    """Round-2 review: the discriminator's BN statistics must train."""
+    from diff_foley_tpu.models.cavp import CAVPConfig, CAVPModel
+    from diff_foley_tpu.models.vae import VAEConfig
+    from diff_foley_tpu.train.stage2_decode import (
+        DecodeConfig,
+        GANDecoderWrapper,
+    )
+    from diff_foley_tpu.train.vae_losses import VAELossConfig
+
+    cfg = DecodeConfig(
+        decoder=VAEConfig(ch=32, ch_mult=(1, 1, 2, 2, 4), num_res_blocks=1,
+                          out_channels=8, z_channels=512),
+        lr=1e-3,
+    )
+    wrapper = GANDecoderWrapper(
+        cfg, CAVPModel(CAVPConfig()),
+        loss_cfg=VAELossConfig(disc_start=0, disc_weight=0.1),
+    )
+    rng = np.random.default_rng(0)
+    spec = jnp.asarray(rng.uniform(0, 1, (2, 128, 256)), jnp.float32)
+    cavp_vars = wrapper.cavp.init(
+        jax.random.PRNGKey(0), spec,
+        method=lambda m, s: m.encode_spec(s, normalize=True, pool=False),
+    )
+    state = wrapper.init_train_state(jax.random.PRNGKey(1), t_feat=16,
+                                     spec_shape=(2, 128, 256))
+    before = jax.tree_util.tree_leaves(state.disc_stats)
+    assert before, "discriminator has no batch_stats collection"
+    step = jax.jit(wrapper.make_gan_train_step())
+    state, _ = step(state, cavp_vars, spec)
+    after = jax.tree_util.tree_leaves(state.disc_stats)
+    deltas = [float(jnp.abs(a - b).max()) for a, b in zip(after, before)]
+    assert max(deltas) > 0, "disc batch_stats did not update"
+
+
+def test_vae_adaptive_weight_sees_perceptual_term():
+    """Round-2 review: the d_weight probe must include the perceptual
+    component (decoder_loss.py:76,96) — with a strong perceptual_fn the
+    adaptive weight must differ from the pixel-only trainer."""
+    from diff_foley_tpu.models.vae import AutoencoderKL, VAEConfig
+    from diff_foley_tpu.train.vae import VAETrainConfig, VAETrainer
+    from diff_foley_tpu.train.vae_losses import VAELossConfig
+
+    vae = AutoencoderKL(VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+    def run(perceptual_fn, weight):
+        trainer = VAETrainer(
+            vae,
+            VAETrainConfig(loss=VAELossConfig(
+                disc_start=0, perceptual_weight=weight)),
+            perceptual_fn=perceptual_fn,
+        )
+        state = trainer.init_train_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        step = jax.jit(trainer.make_train_step())
+        _, m = step(state, x, jax.random.PRNGKey(2))
+        return float(m["d_weight"])
+
+    # squared-error perceptual term has a different gradient field than |x-r|
+    dw_pixel = run(None, 0.0)
+    dw_perc = run(lambda a, b: (a - b) ** 2 * 100.0, 1.0)
+    assert np.isfinite(dw_pixel) and np.isfinite(dw_perc)
+    assert abs(dw_pixel - dw_perc) > 1e-6
+
+
+def test_tiled_apply_rejects_uncovered_canvas():
+    from diff_foley_tpu.diffusion.tiled import SplitInputParams, tiled_apply
+
+    x = jnp.zeros((1, 16, 70, 4))  # (70-16) % 8 != 0 → uncovered strip
+    with pytest.raises(ValueError, match="not covered"):
+        tiled_apply(lambda z: z, x, SplitInputParams())
+
+
+def test_resblock_pos_emb_rejects_overflow():
+    from diff_foley_tpu.models.layers import ResBlock
+
+    block = ResBlock(out_channels=32, pos_seq_len=8)
+    x = jnp.zeros((1, 4, 16, 32))  # W=16 > pos_seq_len=8
+    emb = jnp.zeros((1, 64))
+    with pytest.raises(ValueError, match="pos_seq_len"):
+        block.init(jax.random.PRNGKey(0), x, emb)
