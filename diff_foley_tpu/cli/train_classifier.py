@@ -64,10 +64,10 @@ def main(argv=None):
     else:
         trainer = ClassifierTrainer(cfg=ClassifierTrainConfig(lr=args.lr))
     if args.vae_ckpt:
-        from ..utils.checkpoint import load_reference_ldm
-        from ..diffusion.latent_diffusion import LatentDiffusion
+        from ..utils.checkpoint import load_vae_checkpoint
+        from ..models.vae import SD_VAE  # flagship AutoencoderKL config
 
-        _, vae_params = load_reference_ldm(args.vae_ckpt, LatentDiffusion())
+        vae_params = load_vae_checkpoint(args.vae_ckpt, SD_VAE)
     else:
         import jax.numpy as jnp
 

@@ -132,9 +132,9 @@ def main(argv=None):
 
     count_params(state.params, verbose=True, name="LatentDiffusion")
     if args.vae_ckpt:
-        from ..utils.checkpoint import load_reference_ldm
+        from ..utils.checkpoint import load_vae_checkpoint
 
-        _, vae_params = load_reference_ldm(args.vae_ckpt, ldm)
+        vae_params = load_vae_checkpoint(args.vae_ckpt, ldm.cfg.vae)
     else:
         vae_params = ldm.init_vae_params(jax.random.PRNGKey(args.seed + 1))
 

@@ -91,11 +91,36 @@ class PrefetchLoader:
         next_emit = [0]
         stop = threading.Event()
 
+        emitting = [False]
+        # bound on completed-but-unemitted batches: one slow head-of-line
+        # batch must not let the other workers buffer the whole epoch
+        window = self.prefetch + self.num_workers
+
+        def _put(item) -> bool:
+            # bounded put that never holds `lock` and honours early stop
+            # (consumer abandoning the generator mid-epoch)
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             while not stop.is_set():
                 try:
                     bi, b = work_q.get_nowait()
                 except queue.Empty:
+                    return
+                # throttle: wait until this ticket is within the emission
+                # window (tickets are FIFO, so this bounds `results`)
+                while not stop.is_set():
+                    with lock:
+                        if bi < next_emit[0] + window:
+                            break
+                    stop.wait(0.05)
+                if stop.is_set():
                     return
                 try:
                     batch = self.collate([self.dataset[int(i)] for i in b])
@@ -103,9 +128,21 @@ class PrefetchLoader:
                     batch = e
                 with lock:
                     results[bi] = batch
-                    while next_emit[0] in results:
-                        out_q.put(results.pop(next_emit[0]))
-                        next_emit[0] += 1
+                # in-order drain; only one worker emits at a time, and the
+                # blocking put happens OUTSIDE the lock
+                while not stop.is_set():
+                    with lock:
+                        if emitting[0] or next_emit[0] not in results:
+                            break
+                        item = results.pop(next_emit[0])
+                        emitting[0] = True
+                    ok = _put(item)
+                    with lock:
+                        emitting[0] = False
+                        if ok:
+                            next_emit[0] += 1
+                    if not ok:
+                        return
 
         threads = [
             threading.Thread(target=worker, daemon=True)
@@ -121,6 +158,8 @@ class PrefetchLoader:
                 yield item
         finally:
             stop.set()
+            for t in threads:
+                t.join(timeout=5.0)
 
     def __len__(self):
         idx = shard_indices(

@@ -51,6 +51,10 @@ def _load_lib():
         ctypes.POINTER(ctypes.c_uint64),
     ]
     lib.shard_reader_free_sample.argtypes = [ctypes.c_void_p]
+    lib.shard_reader_failed.restype = ctypes.c_int
+    lib.shard_reader_failed.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
+    ]
     lib.shard_reader_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -86,6 +90,15 @@ class NativeShardReader:
                 ctypes.byref(vid_p), ctypes.byref(vid_n),
             )
             if not ok:
+                # end of stream OR a worker died on a corrupt shard — the
+                # C++ side converts worker exceptions into a failed flag
+                # instead of std::terminate; surface them as a catchable
+                # RuntimeError here
+                msg = ctypes.c_char_p()
+                if lib.shard_reader_failed(self._h, ctypes.byref(msg)):
+                    raise RuntimeError(
+                        f"native shard reader failed: {msg.value.decode()}"
+                    )
                 return
             try:
                 spec = ctypes.string_at(spec_p, spec_n.value)
@@ -117,8 +130,29 @@ def iter_shards_native(
     n_threads: int = 4,
     shuffle_buffer: int = 256,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Native-IO version of data.cavp_shards.iter_shards (same output)."""
+    """Native-IO version of data.cavp_shards.iter_shards (same output).
+
+    Falls back to the pure-python tarfile path (with a warning) when the
+    shared library can't be built — e.g. no compiler on the host."""
     from .cavp_shards import CAVPShardConfig, decode_sample, sample_rng
+
+    try:
+        _load_lib()
+    except (OSError, subprocess.CalledProcessError) as e:
+        import warnings
+
+        from .cavp_shards import iter_shards
+
+        warnings.warn(
+            f"native shard reader unavailable ({e}); "
+            "falling back to the pure-python tarfile reader"
+        )
+        yield from iter_shards(
+            shard_paths, seed=seed, epoch=epoch,
+            process_index=process_index, process_count=process_count,
+            cfg=cfg or CAVPShardConfig(),
+        )
+        return
 
     cfg = cfg or CAVPShardConfig()
     rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))

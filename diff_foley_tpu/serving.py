@@ -94,28 +94,33 @@ class BatchingEngine:
 
     @staticmethod
     def _bucket(n: int, max_windows: int) -> int:
-        """Smallest power-of-two bucket ≥ n (capped): small requests don't
-        pay the full max-batch diffusion cost, and each bucket compiles once."""
+        """Smallest power-of-two bucket ≥ n, hard-capped at max_windows:
+        small requests don't pay the full max-batch diffusion cost, each
+        bucket compiles exactly once, and oversize streams are chunked
+        through the fixed program (generate's bucket_windows path) instead
+        of compiling a new unbounded shape."""
         b = 1
         while b < n and b < max_windows:
             b *= 2
-        return min(b, max(max_windows, n))
+        return min(b, max_windows)
 
     def _run(self, batch: List[_Request]):
         try:
             feats = np.concatenate([r.feats for r in batch], axis=0)
-            bucket = self._bucket(feats.shape[0], self.max_windows)
-            pad = bucket - feats.shape[0] % bucket
-            if pad != bucket:
-                feats = np.concatenate(
-                    [feats, np.zeros((pad, *feats.shape[1:]), np.float32)]
-                )
+            n_windows = feats.shape[0]
+            bucket = self._bucket(n_windows, self.max_windows)
+            if self.pipe.mesh is not None:  # bucket must divide over `data`
+                d = self.pipe.mesh.shape["data"]
+                bucket = -(-bucket // d) * d
             self._key, sub = jax.random.split(self._key)
+            # bucket_windows pads/chunks internally and trims the padding,
+            # so the output covers exactly n_windows
             out = self.pipe.generate(
-                feats.reshape(-1, feats.shape[-1]), sub, self.gen
+                feats.reshape(-1, feats.shape[-1]), sub, self.gen,
+                bucket_windows=bucket,
             )
             wav = out["wav"][0]  # sample 0, all windows concat
-            win_len = wav.shape[-1] // feats.shape[0]
+            win_len = wav.shape[-1] // n_windows
             i = 0
             for r in batch:
                 w = r.feats.shape[0]

@@ -79,8 +79,38 @@ def load_reference_ldm(
         "unet": to_dev(convert_unet(unet_sd, ldm.cfg.unet)),
         "cond": to_dev(convert_cond_encoder(cond_sd)),
     }
-    vae_params = to_dev(convert_vae(vae_sd, ldm.cfg.vae)) if load_vae and vae_sd else None
+    if load_vae and not vae_sd:
+        raise ValueError(
+            f"{ckpt_path} contains no first_stage_model.* (VAE) keys — not "
+            "a full LatentDiffusion checkpoint; pass load_vae=False if the "
+            "VAE comes from elsewhere"
+        )
+    vae_params = to_dev(convert_vae(vae_sd, ldm.cfg.vae)) if load_vae else None
     return params, vae_params
+
+
+def load_vae_checkpoint(ckpt_path: str, vae_cfg) -> Dict:
+    """VAE params from EITHER a composite LDM checkpoint (first_stage_model.*
+    keys) or a standalone AutoencoderKL state dict (encoder./decoder. keys) —
+    what a `--vae-ckpt` flag should accept."""
+    from .convert import (
+        convert_vae,
+        load_torch_state_dict,
+        split_ldm_state_dict,
+    )
+    import jax.numpy as jnp
+
+    sd = load_torch_state_dict(ckpt_path)
+    _, vae_sd, _ = split_ldm_state_dict(sd)
+    if not vae_sd:
+        if any(k.startswith("encoder.") for k in sd):
+            vae_sd = sd  # bare AutoencoderKL layout
+        else:
+            raise ValueError(
+                f"{ckpt_path} has neither first_stage_model.* nor bare "
+                "encoder.* VAE keys"
+            )
+    return jax.tree.map(jnp.asarray, convert_vae(vae_sd, vae_cfg))
 
 
 def load_reference_cavp(ckpt_path: str) -> Dict:

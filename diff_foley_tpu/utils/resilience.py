@@ -89,7 +89,13 @@ class BackgroundSync:
         return self
 
     def stop(self, final_sync: bool = True):
+        # join BEFORE the final sync: a concurrent in-flight copy of the
+        # same tree could interleave truncate/write on the same dst files
         self._stop.set()
+        if self._thread.is_alive():
+            self._thread.join(timeout=30)
         if final_sync:
-            self.copy_fn(self.src, self.dst)
-        self._thread.join(timeout=5)
+            try:
+                self.copy_fn(self.src, self.dst)
+            except Exception as e:  # same tolerance as the loop
+                print(f"[BackgroundSync] final sync failed: {e}")

@@ -47,11 +47,15 @@ def extract_frames(
         np.round((start_second + np.arange(n_out) / fps) * src_fps).astype(int),
         n_src - 1,
     )
-    frames = []
     want = set(src_idx.tolist())
     mapping = {}
     i = 0
     ok = True
+    if n_out and src_idx[0] > 0:
+        # seek to the first wanted frame instead of decoding from 0
+        # (start_second=60 @30fps would otherwise decode+discard 1800 frames)
+        if cap.set(cv2.CAP_PROP_POS_FRAMES, int(src_idx[0])):
+            i = int(src_idx[0])
     while ok and i <= (src_idx.max() if n_out else -1):
         ok, frame = cap.read()
         if not ok:
@@ -62,9 +66,21 @@ def extract_frames(
             mapping[i] = rgb
         i += 1
     cap.release()
-    frames = [mapping[j] for j in src_idx if j in mapping]
-    if not frames:
+    if not mapping:
         raise ValueError(f"no frames decoded from {video_path}")
+    if len(mapping) < len(want):
+        # container over-reported CAP_PROP_FRAME_COUNT (truncated file):
+        # substitute the last decoded frame so the output still covers the
+        # requested duration, and say so instead of silently shrinking
+        import warnings
+
+        warnings.warn(
+            f"{video_path}: decode stopped at frame {max(mapping)} but "
+            f"{int(src_idx.max())} was requested (container over-reported "
+            "length); repeating the last decoded frame"
+        )
+    last_decoded = max(mapping)
+    frames = [mapping[j if j in mapping else last_decoded] for j in src_idx]
     return np.stack(frames).astype(np.float32) / 255.0
 
 

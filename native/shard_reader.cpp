@@ -19,6 +19,7 @@
 #include <fstream>
 #include <memory>
 #include <mutex>
+#include <stdexcept>
 #include <string>
 #include <thread>
 #include <unordered_map>
@@ -37,7 +38,14 @@ struct TarEntry {
   std::vector<uint8_t> data;
 };
 
-// Minimal ustar streaming parser. Returns false at end of archive.
+// Largest plausible tar member (a corrupt octal size field can claim up to
+// 8 GB; real spec/video members are a few MB) — beyond this the shard is
+// treated as corrupt instead of letting data.resize() throw bad_alloc.
+constexpr uint64_t kMaxMemberSize = uint64_t(1) << 30;  // 1 GiB
+
+// Minimal ustar streaming parser. Returns false at end of archive; throws
+// std::runtime_error on a corrupt header (caught by the worker wrapper and
+// surfaced to Python as a catchable error, never std::terminate).
 bool read_tar_entry(std::ifstream& f, TarEntry* out) {
   char header[512];
   while (true) {
@@ -51,6 +59,9 @@ bool read_tar_entry(std::ifstream& f, TarEntry* out) {
     std::memcpy(size_field, header + 124, 12);
     size_field[12] = '\0';
     uint64_t size = std::strtoull(size_field, nullptr, 8);
+    if (size > kMaxMemberSize)
+      throw std::runtime_error("corrupt tar header: member size " +
+                               std::to_string(size));
     char typeflag = header[156];
 
     std::string name(header, strnlen(header, 100));
@@ -86,10 +97,43 @@ struct Reader {
   std::condition_variable cv_push, cv_pop;
   std::atomic<size_t> next_shard{0};
   std::atomic<bool> stopping{false};
+  std::atomic<bool> failed{false};
+  std::string error_msg;  // guarded by mu
   std::atomic<int> live_workers{0};
   std::vector<std::thread> threads;
 
+  // Exception-safe wrapper: a corrupt shard must surface as a Python-level
+  // error, not an exception escaping a std::thread (= std::terminate).
   void worker() {
+    try {
+      worker_impl();
+    } catch (const std::exception& e) {
+      fail(e.what());
+    } catch (...) {
+      fail("unknown error in shard reader worker");
+    }
+    // decrement under the mutex: pop()'s predicate check and its wait are
+    // atomic w.r.t. mu, so modifying state under mu before notify can
+    // never produce a lost wakeup
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      live_workers.fetch_sub(1);
+    }
+    cv_pop.notify_all();
+  }
+
+  void fail(const char* what) {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      if (error_msg.empty()) error_msg = what;
+      failed.store(true);
+      stopping.store(true);
+    }
+    cv_push.notify_all();
+    cv_pop.notify_all();
+  }
+
+  void worker_impl() {
     while (!stopping.load()) {
       size_t idx = next_shard.fetch_add(1);
       if (idx >= shards.size()) break;
@@ -124,7 +168,6 @@ struct Reader {
         }
       }
     }
-    if (live_workers.fetch_sub(1) == 1) cv_pop.notify_all();
   }
 
   // Blocks until a sample is available or the stream is exhausted.
@@ -178,9 +221,24 @@ void shard_reader_free_sample(void* sample) {
   delete static_cast<Sample*>(sample);
 }
 
+// Returns 1 and points *msg at the error string if a worker failed (corrupt
+// shard, etc.); the message stays valid until shard_reader_close.
+int shard_reader_failed(void* handle, const char** msg) {
+  auto* r = static_cast<Reader*>(handle);
+  std::lock_guard<std::mutex> lk(r->mu);
+  if (!r->failed.load()) return 0;
+  *msg = r->error_msg.c_str();
+  return 1;
+}
+
 void shard_reader_close(void* handle) {
   auto* r = static_cast<Reader*>(handle);
-  r->stopping.store(true);
+  {
+    // set under the mutex so a worker between its predicate check and its
+    // wait cannot miss the notify (lost wakeup -> join() deadlock)
+    std::lock_guard<std::mutex> lk(r->mu);
+    r->stopping.store(true);
+  }
   r->cv_push.notify_all();
   r->cv_pop.notify_all();
   for (auto& t : r->threads) t.join();

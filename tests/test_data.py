@@ -110,3 +110,56 @@ def test_cavp_shard_roundtrip(tmp_path):
         assert s["video"].shape == (3, 16, 224, 224, 3)
         assert s["spec"].shape == (3, 128, 256)
         assert 0.0 <= s["video"].min() and s["video"].max() <= 1.0
+
+
+def test_prefetch_loader_early_break_joins_workers(dataset):
+    """Round-2 review: abandoning epoch() mid-iteration (the val-loop
+    pattern) must not leak blocked worker threads."""
+    import threading
+
+    from diff_foley_tpu.data.loader import PrefetchLoader
+
+    before = threading.active_count()
+    loader = PrefetchLoader(dataset, batch_size=2, num_workers=3, prefetch=1)
+    for _ in range(3):
+        for _b in loader.epoch(0):
+            break  # abandon immediately with full queues
+    # generator finalizer sets stop and joins; no thread growth
+    import time
+
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before + 1
+
+
+def test_prefetch_loader_bounded_with_slow_head(dataset):
+    """Round-2 review: one slow head-of-line batch must not let workers
+    buffer the whole epoch (results dict is bounded by the window)."""
+    import threading
+    import time
+
+    from diff_foley_tpu.data.loader import PrefetchLoader
+
+    produced = []
+    gate = threading.Event()
+
+    class SlowHead:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            if i == 0:
+                gate.wait(5)
+            produced.append(i)
+            return {"x": np.zeros(2)}
+
+    loader = PrefetchLoader(SlowHead(), batch_size=2, num_workers=4,
+                            prefetch=2)
+    it = loader.epoch(0)
+    time.sleep(1.0)  # workers run while batch 0 is gated
+    # window = prefetch + num_workers = 6 batches = 12 samples max ahead
+    assert len(produced) <= 14, f"ran ahead unbounded: {len(produced)}"
+    gate.set()
+    batches = list(it)
+    assert len(batches) == 32

@@ -78,3 +78,38 @@ def test_native_reader_early_close(shards):
     it = iter(r)
     next(it)
     r.close()  # must not deadlock with blocked workers
+
+
+def test_native_reader_corrupt_shard_raises(tmp_path):
+    """Round-2 review: a corrupt tar header must surface as a catchable
+    RuntimeError, not std::terminate (worker exception) or a silent EOF."""
+    from diff_foley_tpu.data.native_loader import NativeShardReader
+
+    p = tmp_path / "bad.tar"
+    header = bytearray(512)
+    name = b"x.spec.npy"
+    header[: len(name)] = name
+    # size field: absurd octal (claims ~68 GB member)
+    header[124:136] = b"77777777777\x00"
+    header[156] = ord("0")
+    p.write_bytes(bytes(header) + b"\x00" * 1024)
+
+    with NativeShardReader([str(p)], n_threads=1) as reader:
+        with pytest.raises(RuntimeError, match="corrupt tar header"):
+            list(reader)
+
+
+def test_native_iter_shards_python_fallback(shards, monkeypatch):
+    """Documented fallback: when the shared lib can't load, iter_shards_native
+    degrades to the pure-python tarfile reader with a warning."""
+    import diff_foley_tpu.data.native_loader as nl
+    from diff_foley_tpu.data.cavp_shards import CAVPShardConfig
+
+    def boom(*a, **k):
+        raise OSError("no compiler")
+
+    monkeypatch.setattr(nl, "_load_lib", boom)
+    cfg = CAVPShardConfig(clip_num=2)
+    with pytest.warns(UserWarning, match="falling back"):
+        out = list(nl.iter_shards_native([shards[0]], cfg=cfg))
+    assert len(out) == 4  # all samples of shard 0 via the python path

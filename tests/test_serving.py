@@ -91,3 +91,15 @@ def test_http_server(engine):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_engine_oversize_request_uses_fixed_buckets(engine):
+    """Round-2 review: a request larger than max_batch_windows must be
+    chunked through the fixed bucket program (bounded shapes), and the
+    output must cover exactly the requested windows."""
+    rng = np.random.default_rng(1)
+    w = 7  # > max_batch_windows=4 and not a multiple of it
+    feats = rng.normal(size=(w * WINDOW_FEATS, 512)).astype(np.float32)
+    wav = engine.submit(feats, timeout=300)
+    assert wav.shape == (w * 131072,)
+    assert np.isfinite(wav).all()
