@@ -120,6 +120,18 @@ class DiffFoleyPipeline:
             specs, key, self.melspec, n_iter=gen.gl_iters, length=WINDOW_SAMPLES
         )
 
+    # sampler + VAE decode + Griffin-Lim as ONE compiled program: a single
+    # relay dispatch per generate() call instead of three (each dispatch
+    # pays a ~30 ms round trip on the axon link)
+    @partial(jax.jit, static_argnames=("self", "gen"))
+    def _generate_fused(self, params, vae_params, feats_w, k_s, k_g, gen):
+        specs = self._sample_and_decode(params, vae_params, feats_w, k_s, gen)
+        wavs = mel_to_wav(
+            specs, k_g, self.melspec, n_iter=gen.gl_iters,
+            length=WINDOW_SAMPLES,
+        )
+        return specs, wavs
+
     def generate(
         self,
         cavp_feats: np.ndarray,
@@ -144,10 +156,9 @@ class DiffFoleyPipeline:
             window_features(np.asarray(cavp_feats)))
         wp = feats_w.shape[0]  # padded window count under a mesh
         k_s, k_g = jax.random.split(key)
-        specs = self._sample_and_decode(
-            self.params, self.vae_params, feats_w, k_s, gen
-        )  # (wp*s, 128, 512)
-        wavs = self._invert(specs, k_g, gen)  # (wp*s, WINDOW_SAMPLES)
+        specs, wavs = self._generate_fused(
+            self.params, self.vae_params, feats_w, k_s, k_g, gen
+        )  # (wp*s, 128, 512), (wp*s, WINDOW_SAMPLES)
 
         s = gen.sample_num
         wavs = np.asarray(wavs).reshape(wp, s, -1)[:w]
@@ -181,10 +192,9 @@ class DiffFoleyPipeline:
             else:
                 chunk = jax.device_put(chunk, self._dsh)
             k_s, k_g, key = jax.random.split(jax.random.fold_in(key, c), 3)
-            spec_c = self._sample_and_decode(
-                self.params, self.vae_params, chunk, k_s, gen
-            )  # (bucket*s, 128, 512)
-            wav_c = self._invert(spec_c, k_g, gen)
+            spec_c, wav_c = self._generate_fused(
+                self.params, self.vae_params, chunk, k_s, k_g, gen
+            )  # (bucket*s, 128, 512), (bucket*s, WINDOW_SAMPLES)
             wavs.append(np.asarray(wav_c.reshape(bucket, s, -1)))
             if gen.return_spec:
                 specs.append(np.asarray(
