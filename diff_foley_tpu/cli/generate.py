@@ -97,8 +97,12 @@ def main(argv=None):
 
         params, vae_params = load_reference_ldm(args.ldm_ckpt, ldm)
     else:
-        params = ldm.init_params(jax.random.PRNGKey(args.seed + 1))
-        vae_params = ldm.init_vae_params(jax.random.PRNGKey(args.seed + 2))
+        # jitted init: one compiled program, not thousands of relay-costly
+        # eager op dispatches
+        params = jax.jit(ldm.init_params)(jax.random.PRNGKey(args.seed + 1))
+        vae_params = jax.jit(ldm.init_vae_params)(
+            jax.random.PRNGKey(args.seed + 2)
+        )
     if args.bf16:
         params = {"unet": cast_floating(params["unet"]), "cond": params["cond"]}
 
@@ -112,13 +116,13 @@ def main(argv=None):
             cp = load_reference_classifier(args.classifier_ckpt)
             clf_params, clf_cond_params = cp["backbone"], cp["cond"]
         else:
-            clf_params = clf.init(
-                jax.random.PRNGKey(3), jnp.zeros((1, 16, 64, 4)),
+            clf_params = jax.jit(lambda k: clf.init(
+                k, jnp.zeros((1, 16, 64, 4)),
                 jnp.zeros((1,)), jnp.zeros((1, 40, 512)),
-            )
-            clf_cond_params = clf_cond.init(
-                jax.random.PRNGKey(4), jnp.zeros((1, 40, 512))
-            )
+            ))(jax.random.PRNGKey(3))
+            clf_cond_params = jax.jit(
+                lambda k: clf_cond.init(k, jnp.zeros((1, 40, 512)))
+            )(jax.random.PRNGKey(4))
         classifier = (clf.apply, clf_params, clf_cond_params, clf_cond)
 
     pipe = DiffFoleyPipeline(ldm, params, vae_params, classifier=classifier)

@@ -127,7 +127,7 @@ def main(argv=None):
     repl, dsh = NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
 
     key = jax.random.PRNGKey(args.seed)
-    state = init_train_state(ldm, key, tcfg)
+    state = jax.jit(lambda k: init_train_state(ldm, k, tcfg))(key)
     from ..utils.profiling import count_params
 
     count_params(state.params, verbose=True, name="LatentDiffusion")
