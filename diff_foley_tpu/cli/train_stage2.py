@@ -191,9 +191,15 @@ def main(argv=None):
                     print(f"step {step}: loss={m['loss']:.4f}")
                 if args.val_every and step % args.val_every == 0:
                     vlosses = []
-                    for vb in val_loader.epoch(step // args.val_every):
+                    for vi, vb in enumerate(
+                        val_loader.epoch(step // args.val_every)
+                    ):
                         vb = {k: jax.device_put(v, dsh) for k, v in vb.items()}
-                        vm = eval_fn(state, vae_params, vb, rng)
+                        # independent (t, noise) draws per val batch/round —
+                        # a fixed rng would score every batch at one draw
+                        vrng = jax.random.fold_in(
+                            jax.random.fold_in(rng, step), vi)
+                        vm = eval_fn(state, vae_params, vb, vrng)
                         vlosses.append(float(vm["loss_simple"]))
                         if len(vlosses) >= args.val_batches:
                             break

@@ -129,7 +129,19 @@ def iter_shards(
     ]
     mine = [p for j, p in enumerate(mine) if j % worker_count == worker_index]
 
-    buf: List[Dict[str, np.ndarray]] = []
+    # the shuffle buffer holds RAW (key, spec_npy, video_jpg) byte pairs and
+    # decodes at yield time: a decoded sample is ~29 MB (clip_num×16 224²
+    # float32 frames) so a 256-deep decoded buffer would be ~7 GB of host
+    # RAM; the jpg/npy bytes are ~100× smaller. Crops stay deterministic —
+    # sample_rng is keyed on (seed, epoch, key), not arrival order.
+    buf: List[tuple] = []
+
+    def _decode(item):
+        key, spec_bytes, video_bytes = item
+        return decode_sample(
+            spec_bytes, video_bytes, sample_rng(seed, epoch, key), cfg
+        )
+
     for path in mine:
         with tarfile.open(path, "r") as tf:
             pending: Dict[str, Dict[str, bytes]] = {}
@@ -145,14 +157,10 @@ def iter_shards(
                         ).read()
                         if len(pending[key]) == 2:
                             d = pending.pop(key)
-                            buf.append(
-                                decode_sample(
-                                    d["spec"], d["video"],
-                                    sample_rng(seed, epoch, key), cfg,
-                                )
-                            )
+                            buf.append((key, d["spec"], d["video"]))
                             if len(buf) >= shuffle_buffer:
                                 i = int(rng.integers(0, len(buf)))
-                                yield buf.pop(i)
+                                yield _decode(buf.pop(i))
     rng.shuffle(buf)
-    yield from buf
+    for item in buf:
+        yield _decode(item)

@@ -54,7 +54,20 @@ class SpecFeatDataset:
         self.feat_paths = list(feat_paths)
         self.cfg = cfg
         self.alignment_labels = alignment_labels
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Vary augmentation draws per epoch (PrefetchLoader calls this)."""
+        self._epoch = int(epoch)
+
+    def _item_rng(self, idx: int) -> np.random.Generator:
+        """Fresh per-item generator keyed on (seed, epoch, idx): thread-safe
+        under PrefetchLoader's concurrent workers (a shared np Generator is
+        not), and crops are reproducible regardless of arrival order."""
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, self._epoch, int(idx)])
+        )
 
     @classmethod
     def from_split_file(
@@ -93,10 +106,13 @@ class SpecFeatDataset:
         return spec, feat
 
     # ---- augmentation -----------------------------------------------------
-    def _single(self, spec, feat):
+    def _single(self, spec, feat, rng):
         cfg = self.cfg
-        hi = int(cfg.sr * cfg.duration) - cfg.truncate - 1
-        start = 0 if cfg.fix_frames else int(self._rng.integers(0, hi + 1))
+        # duration == truncate (or shorter operating points) → start 0
+        # instead of rng.integers on an empty range
+        hi = max(int(cfg.sr * cfg.duration) - cfg.truncate - 1, 0)
+        start = 0 if cfg.fix_frames or hi == 0 else int(
+            rng.integers(0, hi + 1))
         start_frame = int(cfg.fps * start / cfg.sr)
         truncate_frame = int(cfg.fps * cfg.truncate / cfg.sr)
         spec_start = start // cfg.hop_len
@@ -106,14 +122,14 @@ class SpecFeatDataset:
             feat[start_frame : start_frame + truncate_frame],
         )
 
-    def _concat(self, spec1, spec2, feat1, feat2):
+    def _concat(self, spec1, spec2, feat1, feat2, rng):
         cfg = self.cfg
         total = cfg.truncate // cfg.hop_len
         min_frames = cfg.min_duration * cfg.sr // cfg.hop_len
-        len1 = int(self._rng.integers(min_frames, total - min_frames))
+        len1 = int(rng.integers(min_frames, total - min_frames))
         len2 = total - len1
-        s1 = int(self._rng.integers(0, total - len1))
-        s2 = int(self._rng.integers(0, total - len2))
+        s1 = int(rng.integers(0, total - len1))
+        s2 = int(rng.integers(0, total - len2))
         spec = np.concatenate(
             [spec1[:, s1 : s1 + len1], spec2[:, s2 : s2 + len2]], axis=1
         )
@@ -127,17 +143,18 @@ class SpecFeatDataset:
         return spec, feat
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = self._item_rng(idx)
         spec1, feat1 = self._load(idx)
-        mixed = float(self._rng.uniform()) < self.cfg.mix_prob
+        mixed = float(rng.uniform()) < self.cfg.mix_prob
 
         if self.alignment_labels:
             # classifier mode: p=0.5 swap in a mismatched video feature
             if mixed:
                 j = idx
                 while j == idx:
-                    j = int(self._rng.integers(0, len(self)))
+                    j = int(rng.integers(0, len(self)))
                 _, feat1 = self._load(j)
-            spec, feat = self._single(spec1, feat1)
+            spec, feat = self._single(spec1, feat1, rng)
             label = 0 if mixed else 1
             return {
                 "spec": np.repeat(spec[:, :, None], 3, axis=2),
@@ -152,11 +169,11 @@ class SpecFeatDataset:
         if mixed and total > 2 * min_frames:
             j = idx
             while j == idx:
-                j = int(self._rng.integers(0, len(self)))
+                j = int(rng.integers(0, len(self)))
             spec2, feat2 = self._load(j)
-            spec, feat = self._concat(spec1, spec2, feat1, feat2)
+            spec, feat = self._concat(spec1, spec2, feat1, feat2, rng)
         else:
-            spec, feat = self._single(spec1, feat1)
+            spec, feat = self._single(spec1, feat1, rng)
         return {
             "spec": np.repeat(spec[:, :, None], 3, axis=2),  # (128, T, 3) NHWC
             "video_feat": feat,

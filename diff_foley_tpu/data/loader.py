@@ -73,6 +73,8 @@ class PrefetchLoader:
         self.collate = collate
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
         idx = shard_indices(
             len(self.dataset), self.batch_size,
             process_index=self.process_index, process_count=self.process_count,

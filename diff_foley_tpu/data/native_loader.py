@@ -164,15 +164,22 @@ def iter_shards_native(
     ]
     # per-sample rngs: crops are deterministic in (seed, epoch, key) even
     # though C++ reader threads deliver samples in nondeterministic order;
-    # a small reservoir decorrelates emission order from tar order.
+    # a small reservoir decorrelates emission order from tar order. Raw
+    # bytes are buffered (decode at yield) — a decoded sample is ~29 MB,
+    # so a 256-deep decoded buffer would hold ~7 GB of host RAM.
     buf = []
+
+    def _decode(item):
+        key, spec_bytes, video_bytes = item
+        return decode_sample(
+            spec_bytes, video_bytes, sample_rng(seed, epoch, key), cfg
+        )
+
     with NativeShardReader(mine, n_threads=n_threads) as reader:
         for key, spec_bytes, video_bytes in reader:
-            buf.append(
-                decode_sample(spec_bytes, video_bytes,
-                              sample_rng(seed, epoch, key), cfg)
-            )
+            buf.append((key, bytes(spec_bytes), bytes(video_bytes)))
             if len(buf) >= shuffle_buffer:
-                yield buf.pop(int(rng.integers(0, len(buf))))
+                yield _decode(buf.pop(int(rng.integers(0, len(buf)))))
     rng.shuffle(buf)
-    yield from buf
+    for item in buf:
+        yield _decode(item)

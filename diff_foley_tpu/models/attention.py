@@ -66,13 +66,20 @@ class CrossAttention(nn.Module):
 
 
 class GEGLU(nn.Module):
+    """Two Dense projections instead of torch's one Dense(2F)+split: under
+    tensor parallelism each kernel column-shards over the `model` axis
+    independently, so x·gelu(gate) stays shard-local (a single (d, 2F)
+    kernel split at F puts x and gate on disjoint device groups and forces
+    a reshard collective in every FeedForward). The converter splits the
+    reference's stacked weight rows (attention_openai.py:126-149)."""
+
     dim_out: int
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.dim_out * 2, name="proj")(x)
-        x, gate = jnp.split(x, 2, axis=-1)
-        return x * jax.nn.gelu(gate, approximate=False)
+        h = nn.Dense(self.dim_out, name="proj_x")(x)
+        gate = nn.Dense(self.dim_out, name="proj_gate")(x)
+        return h * jax.nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):

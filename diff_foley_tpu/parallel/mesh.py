@@ -32,8 +32,20 @@ def make_mesh(
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Shard the leading (batch) axis of every leaf over the data axis."""
+    """Shard the leading (batch) axis of every leaf over the data axis.
+
+    Each leaf is this process's LOCAL batch. Single-process: device_put with
+    the global sharding. Multi-host: device_put would misread the local
+    array as the global value, so build the global array from per-process
+    shards instead (each host contributes its slice of the global batch)."""
     sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 

@@ -37,8 +37,9 @@ def _spec_for(path: Tuple[str, ...], leaf) -> P:
         return P(None, "model")
     if parent in ROW:
         return P("model", None)
-    # GEGLU proj (column) / FF out (row); time-embed MLP
-    if parent == "proj" and "geglu" in names:
+    # GEGLU projections (column — both halves shard independently so the
+    # x·gelu(gate) product is shard-local) / FF out (row); time-embed MLP
+    if parent in ("proj_x", "proj_gate") and "geglu" in names:
         return P(None, "model")
     if parent == "out" and "ff" in names:
         return P("model", None)
@@ -116,9 +117,12 @@ def fsdp_shardings(
 
     Works uniformly on params, optimizer states (Adam mu/nu mirror the param
     shapes; scalars like `count` replicate) and EMA shadows — apply it to the
-    whole TrainState. Pass `base_specs = param_shardings(params, mesh)` to
-    compose with tensor parallelism (the data axis lands on a dim the model
-    axis doesn't own).
+    whole TrainState. To compose with tensor parallelism, call it on the
+    SAME subtree the TP specs were built from (treedefs must match), e.g.
+    `fsdp_shardings(params["unet"], mesh,
+                    base_specs=param_shardings(params["unet"], mesh))`
+    — the data axis then lands on a dim the model axis doesn't own
+    (see __graft_entry__._dryrun_impl for the full recipe).
     """
     n = mesh.shape[axis]
 

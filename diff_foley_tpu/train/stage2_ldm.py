@@ -74,8 +74,10 @@ def make_train_step(
     """Returns step(state, vae_params, batch, rng) → (state, metrics).
 
     batch: {"spec": (B,128,512,3) mel-image NHWC in [0,1],
-            "video_feat": (B,40,512)}  (adm/data/video_spec_dataset.py keys
-            'mix_spec'/'mix_video_feat', channel-tiled ×3).
+            "video_feat": (B,T,512)}  (adm/data/video_spec_dataset.py keys
+            'mix_spec'/'mix_video_feat', channel-tiled ×3; the shipped
+            8.192-s crop gives T=32 cond tokens — the pos-emb encoder
+            accepts any T ≤ its seq_len).
     """
     tx = tx or make_optimizer(cfg)
 
@@ -100,11 +102,23 @@ def make_train_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        ema = (
-            ema_update(state.ema, params, cfg.ema_decay)
-            if state.ema is not None
-            else None
-        )
+        if state.ema is not None:
+            new_ema = ema_update(state.ema, params, cfg.ema_decay)
+            if cfg.accum_steps > 1:
+                # one EMA step per OPTIMIZER update, not per micro-step:
+                # MultiSteps only applies params every K-th call (mini_step
+                # wraps to 0 then); blending the unchanged params K times
+                # would effectively raise decay to d^K and end the warmup
+                # counter K× early
+                did_update = opt_state.mini_step == 0
+                ema = jax.tree.map(
+                    lambda new, old: jnp.where(did_update, new, old),
+                    new_ema, state.ema,
+                )
+            else:
+                ema = new_ema
+        else:
+            ema = None
         metrics = dict(metrics)
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)

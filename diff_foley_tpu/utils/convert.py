@@ -83,6 +83,19 @@ class _Mapper:
         if bias:
             self.take(f"{my}/bias", f"{torch}.bias", _id)
 
+    def dense_halves(self, my_first: str, my_second: str, torch: str) -> None:
+        """torch Dense(2F) whose output rows stack [first; second] → two
+        flax Dense(F) modules (GEGLU's TP-friendly split layout)."""
+        w = _dense(self.sd[self.prefix + f"{torch}.weight"])  # (d, 2F)
+        b = _id(self.sd[self.prefix + f"{torch}.bias"])
+        half = w.shape[1] // 2
+        _set(self.tree, f"{my_first}/kernel", w[:, :half])
+        _set(self.tree, f"{my_first}/bias", b[:half])
+        _set(self.tree, f"{my_second}/kernel", w[:, half:])
+        _set(self.tree, f"{my_second}/bias", b[half:])
+        self.used.add(self.prefix + f"{torch}.weight")
+        self.used.add(self.prefix + f"{torch}.bias")
+
     def resblock(self, my: str, torch: str, has_skip: bool) -> None:
         self.gn(f"{my}/in_norm", f"{torch}.in_layers.0")
         self.conv(f"{my}/in_conv", f"{torch}.in_layers.2")
@@ -132,15 +145,31 @@ class _ExportMapper(_Mapper):
     def take(self, my_path: str, torch_key: str, tf: Callable) -> None:
         inv = _INVERSE[tf]
         self.out[self.prefix + torch_key] = np.asarray(inv(_get(self.params, my_path)))
+        self._n_leaves_exported += 1
+
+    _n_leaves_exported = 0
+
+    def dense_halves(self, my_first: str, my_second: str, torch: str) -> None:
+        # inverse of _Mapper.dense_halves: concat the two flax Dense halves
+        # back into the torch stacked layout
+        kf = np.asarray(_get(self.params, f"{my_first}/kernel"))
+        ks = np.asarray(_get(self.params, f"{my_second}/kernel"))
+        bf = np.asarray(_get(self.params, f"{my_first}/bias"))
+        bs = np.asarray(_get(self.params, f"{my_second}/bias"))
+        self.out[self.prefix + f"{torch}.weight"] = np.concatenate(
+            [kf, ks], axis=1).transpose(1, 0)
+        self.out[self.prefix + f"{torch}.bias"] = np.concatenate([bf, bs])
+        self._n_leaves_exported += 4
 
     def assert_complete(self) -> None:
         """Every param leaf must have been exported exactly once — catches a
         config that walks a smaller structure than the checkpoint has."""
         n_leaves = len(jax.tree_util.tree_leaves(self.params))
-        if n_leaves != len(self.out):
+        if n_leaves != self._n_leaves_exported:
             raise ValueError(
-                f"export incomplete: {len(self.out)} exported keys for "
-                f"{n_leaves} parameter leaves (config/layout mismatch?)"
+                f"export incomplete: {self._n_leaves_exported} exported "
+                f"leaves for {n_leaves} parameter leaves "
+                "(config/layout mismatch?)"
             )
 
 
@@ -406,7 +435,8 @@ def _token_transformer_blocks(m: _Mapper, my: str, torch: str, depth: int):
             m.dense(f"{mb}/{a}/to_k", f"{tb}.{a}.to_k", bias=False)
             m.dense(f"{mb}/{a}/to_v", f"{tb}.{a}.to_v", bias=False)
             m.dense(f"{mb}/{a}/to_out", f"{tb}.{a}.to_out.0")
-        m.dense(f"{mb}/ff/geglu/proj", f"{tb}.ff.net.0.proj")
+        m.dense_halves(f"{mb}/ff/geglu/proj_x", f"{mb}/ff/geglu/proj_gate",
+                       f"{tb}.ff.net.0.proj")
         m.dense(f"{mb}/ff/out", f"{tb}.ff.net.2")
 
 

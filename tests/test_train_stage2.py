@@ -85,3 +85,21 @@ def test_train_step_data_parallel_mesh(eight_devices):
         lambda a, b: float(jnp.abs(a - b).max()), state2.params, state2_1dev.params
     )
     assert max(jax.tree.leaves(diff)) < 1e-4
+
+
+def test_ema_steps_once_per_optimizer_update_under_accum():
+    """Round-2 review: with accum_steps=K, EMA must advance once per real
+    optimizer update, not once per micro-step (decay would become d^K and
+    the warmup counter would run K x fast)."""
+    ldm = LatentDiffusion(TINY)
+    tcfg = Stage2TrainConfig(accum_steps=3, use_ema=True)
+    state = init_train_state(ldm, jax.random.PRNGKey(0), tcfg)
+    vae_params = ldm.init_vae_params(jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(ldm, tcfg))
+    batch = _batch(jax.random.PRNGKey(2))
+    rng = jax.random.PRNGKey(3)
+
+    for i in range(1, 7):
+        state, _ = step(state, vae_params, batch, rng)
+        # one EMA update per completed K-step cycle
+        assert int(state.ema.num_updates) == i // 3, (i, int(state.ema.num_updates))
