@@ -21,7 +21,10 @@ import jax.numpy as jnp
 
 # model_fn(x, t_model_vec, context) -> eps, all batched
 ModelFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
-# classifier_fn(x, t_model_vec, video_feat_context) -> prob in (0,1), (B, 1)
+# classifier_fn(x, t_model_vec, video_feat_context) -> LOG-probability of
+# alignment, (B, 1). Log-space (e.g. jax.nn.log_sigmoid of the logits) is
+# required: log(sigmoid(...)) of an underflowed-to-0 probability is -inf
+# with NaN gradients, which would poison the whole sampling scan.
 ClassifierFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
@@ -64,8 +67,8 @@ def make_guided_eps_fn(
         assert classifier_fn is not None and classifier_cond is not None
 
         def log_prob_sum(x, t_model):
-            p = classifier_fn(x, t_model, classifier_cond)
-            return jnp.sum(jnp.log(p))
+            log_p = classifier_fn(x, t_model, classifier_cond)
+            return jnp.sum(log_p)
 
         grad_fn = jax.grad(log_prob_sum)
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.cond_encoder import VideoFeatEncoderPosembed
-from ..models.unet import ClassifierBackbone, UNetConfig, UNetModel, LDM_UNET
+from ..models.unet import UNetConfig, UNetModel, LDM_UNET
 from ..models.vae import SD_VAE, AutoencoderKL, VAEConfig
 from .guidance import GuidanceSpec, make_guided_eps_fn
 from .samplers import ddim_sample, dpm_solver_sample, plms_sample
@@ -207,7 +207,7 @@ class LatentDiffusion:
         sampler: str = "dpm",
         steps: int = 25,
         cfg_scale: float = 4.5,
-        classifier=None,            # (apply_fn, params, cond_params) or None
+        classifier=None,  # (apply_fn, params, cond_params, cond_encoder) or None
         classifier_scale: float = 0.0,
         x_T: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
@@ -226,11 +226,18 @@ class LatentDiffusion:
         classifier_fn = None
         classifier_cond = None
         if classifier is not None:
+            # 4-tuple: (backbone_apply, backbone_params, cond_params,
+            # cond_encoder_module)
             clf_apply, clf_params, clf_cond_params, clf_cond_encoder = classifier
             classifier_cond = clf_cond_encoder.apply(clf_cond_params, video_feat)
 
             def classifier_fn(x, t_model, feat_ctx):
-                return clf_apply(clf_params, x, t_model, feat_ctx)
+                # log-space: log_sigmoid(logits) stays finite where
+                # log(sigmoid(logits)) underflows to log(0) (guidance.py)
+                logits = clf_apply(
+                    clf_params, x, t_model, feat_ctx, return_logits=True
+                )
+                return jax.nn.log_sigmoid(logits)
 
         spec = GuidanceSpec(cfg_scale=cfg_scale, classifier_scale=classifier_scale)
         eps_fn = make_guided_eps_fn(

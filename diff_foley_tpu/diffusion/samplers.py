@@ -18,7 +18,6 @@ Every sampler takes a *guided* eps_fn built by diffusion.guidance, giving
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -33,11 +32,6 @@ from .schedule import (
 
 # eps_fn(x, t_model_vec, s_t) -> eps   (s_t: classifier-grad scale for this t)
 EpsFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
-
-
-def _b(v, x):
-    """Broadcast per-step scalar against x's batch/spatial dims."""
-    return jnp.asarray(v, x.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -84,7 +78,10 @@ def ddim_sample(
         pred_x0 = (x - c["s1ma"] * e_t) / jnp.sqrt(c["a"])
         dir_xt = jnp.sqrt(1.0 - c["a_prev"] - c["sigma"] ** 2) * e_t
         noise = c["sigma"] * jax.random.normal(k, x.shape, x.dtype) * temperature
-        return jnp.sqrt(c["a_prev"]) * pred_x0 + dir_xt + noise, None
+        # cast back: the fp32 table scalars would otherwise promote a bf16
+        # carry and break the scan's carry-dtype invariance
+        x_new = jnp.sqrt(c["a_prev"]) * pred_x0 + dir_xt + noise
+        return x_new.astype(x.dtype), None
 
     x, _ = jax.lax.scan(step, x_T, (tbl, keys))
     return x
@@ -140,7 +137,8 @@ def ddim_decode(
         e_t = eps_fn(x, t_vec, c["s1ma"])
         pred_x0 = (x - c["s1ma"] * e_t) / jnp.sqrt(c["a"])
         dir_xt = jnp.sqrt(1.0 - c["a_prev"]) * e_t
-        return jnp.sqrt(c["a_prev"]) * pred_x0 + dir_xt, None
+        x_new = jnp.sqrt(c["a_prev"]) * pred_x0 + dir_xt
+        return x_new.astype(x.dtype), None
 
     x, _ = jax.lax.scan(step, x_latent, tbl)
     return x
@@ -204,9 +202,13 @@ def dpm_solver_sample(
         return (x - tb.sigma[i] * eps) / tb.alpha[i]
 
     # ---- init: first-order update t_0 → t_1 ----
-    m0 = model_x0(x_T, 0)
+    # carries are kept in x_T's dtype (bf16 in, bf16 through the scan)
+    m0 = model_x0(x_T, 0).astype(x_T.dtype)
     h1 = tb.lam[1] - tb.lam[0]
-    x = (tb.sigma[1] / tb.sigma[0]) * x_T - tb.alpha[1] * jnp.expm1(-h1) * m0
+    x = (
+        (tb.sigma[1] / tb.sigma[0]) * x_T
+        - tb.alpha[1] * jnp.expm1(-h1) * m0
+    ).astype(x_T.dtype)
 
     # ---- scan: second-order multistep updates t_i → t_{i+1}, i = 1..steps-1.
     # lower_order_final (dpm_solver.py:1094): for steps < 15 the final update
@@ -232,7 +234,7 @@ def dpm_solver_sample(
             - tb.alpha[i + 1] * phi * m_prev0
             - o2 * 0.5 * tb.alpha[i + 1] * phi * D1_0
         )
-        return (x_new, m_prev0), None
+        return (x_new.astype(x.dtype), m_prev0.astype(m_prev1.dtype)), None
 
     (x, _), _ = jax.lax.scan(step, (x, m0), (idx, order2))
     return x
@@ -274,16 +276,19 @@ def plms_sample(
     def x_prev_from(x, e, i):
         pred_x0 = (x - s1_r[i] * e) / jnp.sqrt(a_r[i])
         dir_xt = jnp.sqrt(1.0 - ap_r[i]) * e
-        return jnp.sqrt(ap_r[i]) * pred_x0 + dir_xt
+        return (jnp.sqrt(ap_r[i]) * pred_x0 + dir_xt).astype(x.dtype)
 
-    def eval_eps(x, i, tvals):
+    def eval_eps(x, scale, tvals):
         t_vec = jnp.full((b,), tvals, x.dtype)
-        return eps_fn(x, t_vec, s1_r[i])
+        return eps_fn(x, t_vec, scale)
 
-    # first step: midpoint bootstrap (2 NFE)
-    e0 = eval_eps(x_T, 0, t_r[0])
+    # first step: midpoint bootstrap (2 NFE). The second call evaluates the
+    # model at t_next, so the classifier-grad scale is √(1−ᾱ) at t_next
+    # (= alphas_prev[0]), matching the reference's modify_score indexing at
+    # the timestep actually passed.
+    e0 = eval_eps(x_T, s1_r[0], t_r[0])
     x1 = x_prev_from(x_T, e0, 0)
-    e0_next = eval_eps(x1, 0, t_next_r[0])
+    e0_next = eval_eps(x1, jnp.sqrt(1.0 - ap_r[0]), t_next_r[0])
     e_prime = 0.5 * (e0 + e0_next)
     x = x_prev_from(x_T, e_prime, 0)
 
@@ -291,7 +296,7 @@ def plms_sample(
 
     def step(carry, i):
         x, hist, count = carry
-        e_t = eval_eps(x, i, t_r[i])
+        e_t = eval_eps(x, s1_r[i], t_r[i])
         branches = [
             lambda: (3.0 * e_t - hist[0]) / 2.0,
             lambda: (23.0 * e_t - 16.0 * hist[0] + 5.0 * hist[1]) / 12.0,

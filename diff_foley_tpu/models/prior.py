@@ -206,7 +206,8 @@ class DiffusionPrior:
             x0 = self._maybe_clamp(x0_pred(x, t_vec))
             noise = jax.random.normal(k, x.shape, x.dtype)
             x_new = c["c0"] * x0 + c["ct"] * x + c["sig"] * noise
-            return x_new, None
+            # fp32 table scalars must not promote a lower-precision carry
+            return x_new.astype(x.dtype), None
 
         x, _ = jax.lax.scan(step, x, (tbl, keys))
         return x

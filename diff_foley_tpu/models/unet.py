@@ -275,7 +275,8 @@ class ClassifierBackbone(nn.Module):
     cfg: UNetConfig = CLASSIFIER_BACKBONE
 
     @nn.compact
-    def __call__(self, x, timesteps, context, deterministic: bool = True):
+    def __call__(self, x, timesteps, context, deterministic: bool = True,
+                 return_logits: bool = False):
         cfg = self.cfg
         dt = cfg.compute_dtype
         t_emb = timestep_embedding(timesteps, cfg.model_channels)
@@ -319,4 +320,7 @@ class ClassifierBackbone(nn.Module):
         h = conv3x3(ch // 2, zero_init=True, name="out_conv")(h)
         h = h.mean(axis=(1, 2))  # AdaptiveAvgPool2d((1,1))
         h = nn.Dense(cfg.out_channels, name="classifier")(h.astype(jnp.float32))
-        return nn.sigmoid(h)
+        # return_logits lets guidance take log_sigmoid(logits) instead of
+        # log(sigmoid(...)): the latter is -inf/NaN-grad once the fp32
+        # sigmoid underflows to 0 (TPU flushes subnormals)
+        return h if return_logits else nn.sigmoid(h)

@@ -31,9 +31,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _xla_reference(q, k, v, scale):
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    w = jax.nn.softmax(logits * scale, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+    # single source of truth for the XLA softmax-attention math
+    from .attention import _xla_attention
+
+    return _xla_attention(q, k, v, scale)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):

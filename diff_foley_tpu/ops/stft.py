@@ -117,8 +117,11 @@ def istft(
     if center:
         y = y[..., n_fft // 2 :]
     if length is None:
-        # librosa convention: centered signal length = hop * (n_frames - 1)
-        return y[..., : (n_frames - 1) * hop_length]
+        if center:
+            # librosa convention: centered signal length = hop*(n_frames-1)
+            return y[..., : (n_frames - 1) * hop_length]
+        # uncentered: the full overlap-add covers hop*(n_frames-1) + n_fft
+        return y[..., : (n_frames - 1) * hop_length + n_fft]
     if y.shape[-1] < length:
         y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, length - y.shape[-1])])
     return y[..., :length]

@@ -55,7 +55,10 @@ class ClassifierTrainer:
             linear_start=cfg.linear_start,
             linear_end=cfg.linear_end,
         )
-        self.tx = optax.adamw(cfg.lr)
+        # weight_decay=0.01 = torch AdamW default (the reference's
+        # configure_optimizers uses stock torch.optim.AdamW); optax's
+        # default is 1e-4, a 100x weaker regularisation
+        self.tx = optax.adamw(cfg.lr, weight_decay=0.01)
 
     def init_params(self, key: jax.Array, latent_hw=(16, 64)):
         k1, k2 = jax.random.split(key)

@@ -228,3 +228,68 @@ def test_resblock_pos_emb_rejects_overflow():
     emb = jnp.zeros((1, 64))
     with pytest.raises(ValueError, match="pos_seq_len"):
         block.init(jax.random.PRNGKey(0), x, emb)
+
+
+def test_samplers_preserve_bf16_carry():
+    """Round-2 review: fp32 schedule tables must not promote a bf16 x_T
+    (scan carry dtype mismatch crash in ddim; silent promotion in dpm)."""
+    from diff_foley_tpu.diffusion.samplers import (
+        ddim_sample, dpm_solver_sample, plms_sample,
+    )
+
+    def eps_fn(x, t, s):
+        return x * 0.1
+
+    x = jnp.zeros((2, 4, 4, 2), jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    for fn, kw in ((ddim_sample, {"key": key}), (dpm_solver_sample, {}),
+                   (plms_sample, {})):
+        out = fn(eps_fn, SCHED, x, steps=4, **kw)
+        assert out.dtype == jnp.bfloat16, fn.__name__
+        assert np.isfinite(np.asarray(out, np.float32)).all(), fn.__name__
+
+
+def test_classifier_guidance_finite_when_saturated():
+    """Round-2 review: a confidently-misaligned classifier (sigmoid
+    underflows to 0) must give finite guidance, not log(0) NaN grads."""
+    from diff_foley_tpu.diffusion.guidance import (
+        GuidanceSpec, make_guided_eps_fn,
+    )
+
+    def model_fn(x, t, c):
+        return jnp.zeros_like(x)
+
+    def classifier_fn(x, t, ctx):
+        # log-space contract: log_sigmoid of a hugely negative logit —
+        # finite (≈ logit), where log(sigmoid(logit)) would be -inf
+        logits = -200.0 * jnp.ones((x.shape[0], 1)) + 0.0 * jnp.sum(
+            x, axis=(1, 2, 3), keepdims=False
+        )[:, None]
+        return jax.nn.log_sigmoid(logits)
+
+    cond = jnp.zeros((2, 8, 16))
+    eps_fn = make_guided_eps_fn(
+        model_fn, cond, jnp.zeros_like(cond),
+        GuidanceSpec(cfg_scale=4.5, classifier_scale=50.0),
+        classifier_fn, jnp.zeros((2, 8, 16)),
+    )
+    x = jnp.ones((2, 4, 4, 2))
+    eps = eps_fn(x, jnp.zeros((2,)), jnp.float32(0.5))
+    assert np.isfinite(np.asarray(eps)).all()
+
+
+def test_istft_uncentered_full_length():
+    """Round-2 review: istft(center=False) must return the full
+    hop*(n_frames-1)+n_fft overlap-add, not the centered length."""
+    from diff_foley_tpu.ops.stft import istft, stft
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2048 + 1024,)),
+                    jnp.float32)
+    spec = stft(x, n_fft=1024, hop_length=256, center=False)
+    y = istft(spec, n_fft=1024, hop_length=256, center=False)
+    n_frames = spec.shape[-1]
+    assert y.shape[-1] == (n_frames - 1) * 256 + 1024
+    # interior reconstructs (edges lack full window overlap)
+    lo, hi = 1024, y.shape[-1] - 1024
+    np.testing.assert_allclose(
+        np.asarray(y)[lo:hi], np.asarray(x)[lo:hi], atol=1e-3)

@@ -136,8 +136,8 @@ def test_classifier_guidance_grad():
         return jnp.zeros_like(x)
 
     def classifier_fn(x, t, feat):
-        # log p = -||x||^2  -> grad = -2x
-        return jnp.exp(-jnp.sum(x**2, axis=(1, 2, 3), keepdims=False))[:, None]
+        # LOG-space contract (guidance.py): log p = -||x||^2 -> grad = -2x
+        return -jnp.sum(x**2, axis=(1, 2, 3), keepdims=False)[:, None]
 
     cond = jnp.ones((2, 4, 8))
     eps_fn = make_guided_eps_fn(
