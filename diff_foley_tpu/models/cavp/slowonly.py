@@ -88,7 +88,6 @@ class ResNet3dSlowOnly(nn.Module):
                     constant_values=-jnp.inf)
         h = nn.max_pool(h, (1, 3, 3), strides=(1, 2, 2), padding="VALID")
 
-        in_ch = self.base_channels
         for stage, (blocks, stride, infl) in enumerate(
             zip(self.stage_blocks, self.spatial_strides, self.inflate), start=1
         ):
@@ -102,6 +101,5 @@ class ResNet3dSlowOnly(nn.Module):
                     axis_name=self.axis_name,
                     name=f"layer{stage}_{b}",
                 )(h, train)
-            in_ch = planes * 4
 
         return h.mean(axis=(2, 3))  # spatial adaptive avg pool → (B, T, C)

@@ -43,10 +43,11 @@ def round_width(width, multiplier, min_width=1, divisor=1):
 
 
 def adaptive_avg_pool_t(x: jnp.ndarray, out_t: int) -> jnp.ndarray:
-    """torch AdaptiveAvgPool over the leading time axis of (B, T, C).
+    """torch AdaptiveAvgPool1d over the leading time axis of (B, T, C).
 
-    Supports the two regimes that occur here: T divisible by out_t
-    (average groups) and out_t divisible by T (repeat frames)."""
+    Fast paths for the common integer ratios; otherwise the exact torch
+    adaptive windows (start=floor(i·T/out), end=ceil((i+1)·T/out)) — T is
+    static under trace, so the window loop unrolls to fixed slices."""
     b, t, c = x.shape
     if t == out_t:
         return x
@@ -54,7 +55,12 @@ def adaptive_avg_pool_t(x: jnp.ndarray, out_t: int) -> jnp.ndarray:
         return x.reshape(b, out_t, t // out_t, c).mean(axis=2)
     if out_t % t == 0:
         return jnp.repeat(x, out_t // t, axis=1)
-    raise ValueError(f"adaptive pool {t}→{out_t} not an integer ratio")
+    outs = []
+    for i in range(out_t):
+        lo = (i * t) // out_t
+        hi = -(-((i + 1) * t) // out_t)  # ceil
+        outs.append(x[:, lo:hi].mean(axis=1))
+    return jnp.stack(outs, axis=1)
 
 
 class BNReLU(nn.Module):

@@ -27,9 +27,14 @@ def spec_augment(
     b, m, t = spec.shape
 
     def stripes(key, axis_len, width, n, axis):
+        # exact reference distributions (aug_utils.py:42-43):
+        # width ~ randint[0, drop_width)  (high exclusive),
+        # start ~ randint[0, axis_len - width_sampled)  (depends on the
+        # sampled width, so stripes can end anywhere up to the axis edge)
         ks = jax.random.split(key, 2)
-        widths = jax.random.randint(ks[0], (b, n), 0, width + 1)
-        starts = jax.random.randint(ks[1], (b, n), 0, jnp.maximum(axis_len - width, 1))
+        widths = jax.random.randint(ks[0], (b, n), 0, width)
+        u = jax.random.uniform(ks[1], (b, n))
+        starts = jnp.floor(u * (axis_len - widths)).astype(jnp.int32)
         pos = jnp.arange(axis_len)
         # mask[b, x] = any stripe covers x
         cover = (

@@ -89,8 +89,10 @@ def mel_spectrogram_loss(
     total = 0.0
     for cfg in cfgs:
         fb = mel_filterbank(cfg.sr, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
-        mag_a = stft_magnitude(wav_hat, cfg.n_fft, cfg.hop_length)
-        mag_b = stft_magnitude(wav, cfg.n_fft, cfg.hop_length)
+        mag_a = stft_magnitude(wav_hat, cfg.n_fft, cfg.hop_length,
+                               power=cfg.spec_power)
+        mag_b = stft_magnitude(wav, cfg.n_fft, cfg.hop_length,
+                               power=cfg.spec_power)
         mel_a = jnp.einsum("mf,...ft->...mt", fb, mag_a)
         mel_b = jnp.einsum("mf,...ft->...mt", fb, mag_b)
         total = total + jnp.mean(jnp.abs(mel_a - mel_b)) + jnp.mean(

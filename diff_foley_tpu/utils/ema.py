@@ -30,7 +30,11 @@ def ema_update(state: EmaState, new_params, decay: float = 0.9999) -> EmaState:
     n = state.num_updates + 1
     d = jnp.minimum(decay, (1.0 + n) / (10.0 + n))
     one_minus = 1.0 - d
+    # preserve each leaf's dtype: one_minus is f32 (from the int counter)
+    # and would promote bf16 EMA leaves, changing the carry structure of a
+    # jitted train step between input and output state
     new_ema = jax.tree.map(
-        lambda e, p: e - one_minus * (e - p), state.params, new_params
+        lambda e, p: (e - one_minus * (e - p)).astype(e.dtype),
+        state.params, new_params,
     )
     return EmaState(new_ema, n)

@@ -24,8 +24,13 @@ def read_wav(path: str):
         n = f.getnframes()
         raw = f.readframes(n)
         width = f.getsampwidth()
+        channels = f.getnchannels()
     if width == 2:
         pcm = np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
     else:
         raise ValueError(f"unsupported sample width {width}")
+    if channels > 1:
+        # frames are interleaved — downmix to mono instead of returning
+        # an interleaved stream the DSP chain would misread
+        pcm = pcm.reshape(-1, channels).mean(axis=1)
     return pcm, sr

@@ -127,3 +127,37 @@ def test_train_classifier_cli(tmp_path):
     accs = [r["train/acc"] for r in rows if "train/acc" in r]
     assert bces and np.isfinite(bces).all()
     assert accs and all(0.0 <= a <= 1.0 for a in accs)
+
+
+def test_spec_augment_reference_distribution():
+    """Round-2 review: widths ~ randint[0, drop_width) (high exclusive) and
+    stripes can end anywhere up to the axis edge (start depends on the
+    sampled width), matching aug_utils.py:42-43."""
+    from diff_foley_tpu.ops.spec_augment import spec_augment
+
+    spec = jnp.ones((64, 32, 128))
+    near_tail_masked = False
+    last_masked = False
+    max_stripe = 0
+    for s in range(20):
+        out = np.asarray(spec_augment(
+            spec, jax.random.PRNGKey(s),
+            time_drop_width=8, time_stripes=2,
+            freq_drop_width=8, freq_stripes=2,
+        ))
+        # time-stripe mask: columns zeroed across ALL mel bins (a single
+        # mel row can also be zeroed by a freq stripe)
+        t_mask = (out == 0).all(axis=1)  # (B, T)
+        # max contiguous run per row ≤ 2*(drop_width-1) (two stripes)
+        runs = np.diff(np.where(
+            np.pad(t_mask, ((0, 0), (1, 1))).astype(int).reshape(-1) == 0
+        )[0]) - 1
+        if runs.size:
+            max_stripe = max(max_stripe, int(runs.max()))
+        near_tail_masked |= bool(t_mask[:, -2].any())
+        last_masked |= bool(t_mask[:, -1].any())
+    assert max_stripe <= 14, max_stripe  # 2 stripes x width ≤ 7 each
+    # reference semantics: bgn < T - distance, so index T-2 is reachable
+    # (bgn=T-2, distance=1) but the final index T-1 never is
+    assert near_tail_masked, "stripes never reach T-2"
+    assert not last_masked, "final index must never be masked (bgn < T-d)"
