@@ -117,8 +117,9 @@ def bench_components(pipe, extras):
     )
     extras["unet_fwd_ms"] = round(dt * 1e3, 2)
     extras["dispatch_ms"] = round(
-        (_timed(unet_fwd, params, x, t, ctx) - dt) * 1e3, 1
-    )  # relay round-trip latency a single dispatch pays on top
+        max(0.0, _timed(unet_fwd, params, x, t, ctx) - dt) * 1e3, 1
+    )  # relay round-trip latency a single dispatch pays on top (clamped:
+    # it is the difference of two independently-measured medians)
     try:
         costs = jax.jit(
             lambda p, x_, t_, c_: ldm.unet.apply(p["unet"], x_, t_, c_)

@@ -31,10 +31,18 @@ def spec_augment(
         # width ~ randint[0, drop_width)  (high exclusive),
         # start ~ randint[0, axis_len - width_sampled)  (depends on the
         # sampled width, so stripes can end anywhere up to the axis edge)
+        if width <= 0 or n <= 0:  # degenerate config → no-op mask
+            return jnp.ones(
+                (b, 1, axis_len) if axis == 2 else (b, axis_len, 1),
+                spec.dtype,
+            )
         ks = jax.random.split(key, 2)
         widths = jax.random.randint(ks[0], (b, n), 0, width)
         u = jax.random.uniform(ks[1], (b, n))
-        starts = jnp.floor(u * (axis_len - widths)).astype(jnp.int32)
+        # clamp so a drop_width > axis_len config can't produce negative starts
+        starts = jnp.floor(
+            u * jnp.maximum(axis_len - widths, 1)
+        ).astype(jnp.int32)
         pos = jnp.arange(axis_len)
         # mask[b, x] = any stripe covers x
         cover = (

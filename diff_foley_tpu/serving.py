@@ -49,6 +49,12 @@ class BatchingEngine:
     ):
         self.pipe = pipe
         self.gen = gen
+        if pipe.mesh is not None:
+            # buckets are rounded up to a multiple of the data-mesh degree in
+            # _run; keep the hard cap consistent with that rounding so the
+            # rounded bucket can never exceed it
+            d = pipe.mesh.shape["data"]
+            max_batch_windows = -(-max_batch_windows // d) * d
         self.max_windows = max_batch_windows
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue[_Request]" = queue.Queue()

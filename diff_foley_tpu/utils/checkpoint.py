@@ -50,9 +50,51 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             return None
-        return self.mgr.restore(
-            step, args=ocp.args.StandardRestore(state_template)
-        )
+        try:
+            return self.mgr.restore(
+                step, args=ocp.args.StandardRestore(state_template)
+            )
+        except Exception:
+            # tree-structure mismatch: try migrating checkpoints written
+            # before the GEGLU proj -> proj_x/proj_gate split
+            raw = self.mgr.restore(step)
+            migrated = migrate_geglu_split(raw, state_template)
+            flat_t = jax.tree_util.tree_structure(state_template)
+            flat_m = jax.tree_util.tree_structure(migrated)
+            if flat_t != flat_m:
+                raise
+            return migrated
+
+
+def migrate_geglu_split(tree: Any, template: Any) -> Any:
+    """Migrate pre-split GEGLU checkpoints to the proj_x/proj_gate layout.
+
+    The GEGLU module was refactored from one Dense(2F) named ``proj`` into two
+    Dense(F) modules ``proj_x``/``proj_gate`` (so each kernel column-shards
+    independently under tensor parallelism — models/attention.py:68). Old
+    native checkpoints hold the stacked kernel/bias; split them at F wherever
+    the template expects the new pair.
+    """
+    if isinstance(tree, dict) and isinstance(template, dict):
+        out = {}
+        for k, tmpl_v in template.items():
+            if (
+                k in ("proj_x", "proj_gate")
+                and k not in tree
+                and "proj" in tree
+                and isinstance(tree["proj"], dict)
+            ):
+                half = 0 if k == "proj_x" else 1
+                out[k] = {
+                    name: np.split(np.asarray(arr), 2, axis=-1)[half]
+                    for name, arr in tree["proj"].items()
+                }
+            elif k in tree:
+                out[k] = migrate_geglu_split(tree[k], tmpl_v)
+            else:
+                out[k] = tree.get(k)  # surfaces as a structure mismatch
+        return out
+    return tree
 
 
 def load_reference_ldm(

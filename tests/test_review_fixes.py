@@ -293,3 +293,72 @@ def test_istft_uncentered_full_length():
     lo, hi = 1024, y.shape[-1] - 1024
     np.testing.assert_allclose(
         np.asarray(y)[lo:hi], np.asarray(x)[lo:hi], atol=1e-3)
+
+
+def test_spec_augment_degenerate_widths_noop():
+    """Round-3 advice: drop_width=0 must be a no-op, and drop_width >
+    axis_len must not produce negative starts (NaNs/garbage masks)."""
+    from diff_foley_tpu.ops.spec_augment import spec_augment
+
+    spec = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 16)),
+                       jnp.float32)
+    key = jax.random.PRNGKey(0)
+    out = spec_augment(spec, key, time_drop_width=0, time_stripes=2,
+                       freq_drop_width=0, freq_stripes=2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(spec))
+    # oversize widths: masked output must stay finite and in {0, x}
+    out2 = np.asarray(spec_augment(spec, key, time_drop_width=64,
+                                   time_stripes=2, freq_drop_width=32,
+                                   freq_stripes=2))
+    assert np.isfinite(out2).all()
+    s = np.asarray(spec)
+    assert ((out2 == 0) | (out2 == s)).all()
+
+
+def test_geglu_checkpoint_migration_split():
+    """Round-3 advice: pre-GEGLU-split native checkpoints (single proj
+    Dense(2F)) must restore into the proj_x/proj_gate layout."""
+    from diff_foley_tpu.utils.checkpoint import migrate_geglu_split
+
+    rng = np.random.default_rng(0)
+    kern = rng.normal(size=(6, 8)).astype(np.float32)  # (d, 2F), F=4
+    bias = rng.normal(size=(8,)).astype(np.float32)
+    old = {"ff": {"geglu": {"proj": {"kernel": kern, "bias": bias}},
+                  "out": {"kernel": np.zeros((4, 6))}}}
+    template = {"ff": {"geglu": {"proj_x": {"kernel": np.zeros((6, 4)),
+                                            "bias": np.zeros(4)},
+                                 "proj_gate": {"kernel": np.zeros((6, 4)),
+                                               "bias": np.zeros(4)}},
+                       "out": {"kernel": np.zeros((4, 6))}}}
+    new = migrate_geglu_split(old, template)
+    np.testing.assert_array_equal(new["ff"]["geglu"]["proj_x"]["kernel"],
+                                  kern[:, :4])
+    np.testing.assert_array_equal(new["ff"]["geglu"]["proj_gate"]["kernel"],
+                                  kern[:, 4:])
+    np.testing.assert_array_equal(new["ff"]["geglu"]["proj_x"]["bias"],
+                                  bias[:4])
+    np.testing.assert_array_equal(new["ff"]["geglu"]["proj_gate"]["bias"],
+                                  bias[4:])
+    assert (jax.tree_util.tree_structure(new)
+            == jax.tree_util.tree_structure(template))
+
+
+def test_batching_engine_cap_respects_mesh_rounding():
+    """Round-3 advice: the bucket cap must already be a multiple of the
+    data-mesh degree so _run's rounding can never exceed it."""
+    from diff_foley_tpu.serving import BatchingEngine
+
+    class FakeMesh:
+        shape = {"data": 4}
+
+    class FakePipe:
+        mesh = FakeMesh()
+
+    eng = BatchingEngine(FakePipe(), max_batch_windows=6)
+    try:
+        assert eng.max_windows == 8  # rounded up to a multiple of data=4
+        bucket = BatchingEngine._bucket(7, eng.max_windows)
+        bucket = -(-bucket // 4) * 4
+        assert bucket <= eng.max_windows
+    finally:
+        eng.stop()
