@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from diff_foley_tpu.diffusion.latent_diffusion import LatentDiffusion, LDMConfig
-from diff_foley_tpu.models.cond_encoder import VideoFeatEncoderPosembed
 from diff_foley_tpu.models.unet import CLASSIFIER_BACKBONE, ClassifierBackbone
 from diff_foley_tpu.ops.attention import set_attention_backend
 from diff_foley_tpu.pipeline import DiffFoleyPipeline, GenerationConfig, WINDOW_FEATS
@@ -56,12 +55,8 @@ def build_pipeline(key):
         jnp.zeros((1, 40, 512)),
     ))(k3)
     clf_params = cast_floating(clf_params)
-    clf_cond = VideoFeatEncoderPosembed(embed_dim=512, seq_len=40)
-    clf_cond_params = jax.jit(
-        lambda k: clf_cond.init(k, jnp.zeros((1, 40, 512)))
-    )(k4)
 
-    classifier = (clf.apply, clf_params, clf_cond_params, clf_cond)
+    classifier = (clf.apply, clf_params)
     return DiffFoleyPipeline(ldm, params, vae_params, classifier=classifier)
 
 

@@ -22,7 +22,6 @@ import numpy as np
 
 from .diffusion.latent_diffusion import LatentDiffusion, LDMConfig
 from .models.cavp import CAVPModel
-from .models.cond_encoder import VideoFeatEncoderPosembed
 from .models.unet import CLASSIFIER_BACKBONE, ClassifierBackbone
 from .pipeline import DiffFoleyPipeline, GenerationConfig
 from .utils.precision import cast_floating
@@ -70,8 +69,10 @@ class DiffFoley:
         if classifier:
             cp = load_reference_classifier(classifier)
             backbone = ClassifierBackbone(CLASSIFIER_BACKBONE)
-            cond = VideoFeatEncoderPosembed(embed_dim=512, seq_len=40)
-            clf = (backbone.apply, cp["backbone"], cp["cond"], cond)
+            # guidance context is the raw CAVP features (reference quirk,
+            # alignment_classifier.py:285-287) — the ckpt's cond_model params
+            # are only needed for align-acc, not here
+            clf = (backbone.apply, cp["backbone"])
         return cls(ldm_model, params, vae_params, cavp_model, cavp_vars, clf,
                    bf16=bf16)
 

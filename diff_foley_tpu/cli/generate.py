@@ -50,7 +50,6 @@ def main(argv=None):
 
     from ..diffusion.latent_diffusion import LatentDiffusion, LDMConfig
     from ..models.cavp import CAVPModel
-    from ..models.cond_encoder import VideoFeatEncoderPosembed
     from ..models.unet import CLASSIFIER_BACKBONE, ClassifierBackbone
     from ..pipeline import DiffFoleyPipeline, GenerationConfig
     from ..utils.precision import cast_floating
@@ -109,21 +108,18 @@ def main(argv=None):
     classifier = None
     if args.cg_scale > 0:
         clf = ClassifierBackbone(CLASSIFIER_BACKBONE)
-        clf_cond = VideoFeatEncoderPosembed(embed_dim=512, seq_len=40)
         if args.classifier_ckpt:
             from ..utils.checkpoint import load_reference_classifier
 
             cp = load_reference_classifier(args.classifier_ckpt)
-            clf_params, clf_cond_params = cp["backbone"], cp["cond"]
+            clf_params = cp["backbone"]
         else:
             clf_params = jax.jit(lambda k: clf.init(
                 k, jnp.zeros((1, 16, 64, 4)),
                 jnp.zeros((1,)), jnp.zeros((1, 40, 512)),
             ))(jax.random.PRNGKey(3))
-            clf_cond_params = jax.jit(
-                lambda k: clf_cond.init(k, jnp.zeros((1, 40, 512)))
-            )(jax.random.PRNGKey(4))
-        classifier = (clf.apply, clf_params, clf_cond_params, clf_cond)
+        # guidance context = raw CAVP feats (alignment_classifier.py:285-287)
+        classifier = (clf.apply, clf_params)
 
     pipe = DiffFoleyPipeline(ldm, params, vae_params, classifier=classifier)
     gen = GenerationConfig(

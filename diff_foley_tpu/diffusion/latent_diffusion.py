@@ -207,7 +207,7 @@ class LatentDiffusion:
         sampler: str = "dpm",
         steps: int = 25,
         cfg_scale: float = 4.5,
-        classifier=None,  # (apply_fn, params, cond_params, cond_encoder) or None
+        classifier=None,  # (apply_fn, params) or None
         classifier_scale: float = 0.0,
         x_T: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
@@ -226,10 +226,15 @@ class LatentDiffusion:
         classifier_fn = None
         classifier_cond = None
         if classifier is not None:
-            # 4-tuple: (backbone_apply, backbone_params, cond_params,
-            # cond_encoder_module)
-            clf_apply, clf_params, clf_cond_params, clf_cond_encoder = classifier
-            classifier_cond = clf_cond_encoder.apply(clf_cond_params, video_feat)
+            # (backbone_apply, backbone_params). The classifier context is the
+            # RAW 512-d CAVP features, NOT the Posembed-encoded ones: the
+            # reference's shipped guidance path calls the classifier's forward
+            # (alignment_classifier.py:285-287) with origin_cond straight from
+            # the notebook (dpm_solver.py:1388 via sampler.py:145), skipping
+            # cond_model even though training encodes (ibid.:234-235). The
+            # encoder is used only by classifier training and align-acc.
+            clf_apply, clf_params = classifier[:2]
+            classifier_cond = video_feat
 
             def classifier_fn(x, t_model, feat_ctx):
                 # log-space: log_sigmoid(logits) stays finite where

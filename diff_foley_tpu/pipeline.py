@@ -56,7 +56,7 @@ class DiffFoleyPipeline:
         ldm: Optional[LatentDiffusion] = None,
         params=None,
         vae_params=None,
-        classifier=None,  # (apply_fn, params, cond_params, cond_encoder)
+        classifier=None,  # (apply_fn, params)
         melspec: MelSpec = DEFAULT_MELSPEC,
         mesh=None,
     ):
@@ -77,11 +77,8 @@ class DiffFoleyPipeline:
             self.params = jax.device_put(params, self._repl)
             self.vae_params = jax.device_put(vae_params, self._repl)
             if classifier is not None:
-                fn, cp, ccp, cenc = classifier
-                self.classifier = (
-                    fn, jax.device_put(cp, self._repl),
-                    jax.device_put(ccp, self._repl), cenc,
-                )
+                fn, cp = classifier[:2]
+                self.classifier = (fn, jax.device_put(cp, self._repl))
 
     def _shard_batch(self, *arrays):
         """Pad axis 0 to a multiple of the data-axis size and shard."""
@@ -97,7 +94,10 @@ class DiffFoleyPipeline:
 
     # one compiled program: windows×samples latents → specs
     @partial(jax.jit, static_argnames=("self", "gen"))
-    def _sample_and_decode(self, params, vae_params, feats_w, key, gen):
+    def _sample_and_decode(self, params, vae_params, feats_w, key, gen,
+                           x_T=None):
+        """`x_T` (w·sample_num, *LATENT_HW, C) overrides the key-derived
+        initial noise — parity harnesses share one x_T with the reference."""
         w, f, d = feats_w.shape
         s = gen.sample_num
         cond = jnp.repeat(feats_w, s, axis=0)  # (w*s, f, d)
@@ -110,6 +110,7 @@ class DiffFoleyPipeline:
             cfg_scale=gen.cfg_scale,
             classifier=self.classifier if use_clf else None,
             classifier_scale=gen.classifier_scale if use_clf else 0.0,
+            x_T=x_T,
         )
         spec_img = self.ldm.decode_first_stage(vae_params, z)  # (w*s,128,512,3)
         return jnp.clip(spec_img[..., 0], 0.0, 1.0)

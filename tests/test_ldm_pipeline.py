@@ -5,7 +5,6 @@ import numpy as np
 import pytest
 
 from diff_foley_tpu.diffusion.latent_diffusion import LatentDiffusion, LDMConfig
-from diff_foley_tpu.models.cond_encoder import VideoFeatEncoderPosembed
 from diff_foley_tpu.models.unet import UNetConfig, ClassifierBackbone
 from diff_foley_tpu.models.vae import VAEConfig
 from diff_foley_tpu.pipeline import (
@@ -75,21 +74,21 @@ def test_window_features():
 
 def test_pipeline_end_to_end_with_double_guidance(ldm_and_params):
     ldm, params, vae_params = ldm_and_params
+    # classifier context is the RAW 512-d CAVP features (reference quirk,
+    # alignment_classifier.py:285-287), so context_dim must be 512
     clf_cfg = UNetConfig(
         in_channels=4, out_channels=1, model_channels=32, num_res_blocks=1,
         attention_resolutions=(2,), channel_mult=(1, 2), num_heads=4,
-        context_dim=16,
+        context_dim=512,
     )
     clf = ClassifierBackbone(clf_cfg)
     cp = clf.init(
         jax.random.PRNGKey(8), jnp.zeros((1, 16, 64, 4)), jnp.zeros((1,)),
-        jnp.zeros((1, WINDOW_FEATS, 16)),
+        jnp.zeros((1, WINDOW_FEATS, 512)),
     )
-    enc = VideoFeatEncoderPosembed(embed_dim=16, seq_len=WINDOW_FEATS)
-    ep = enc.init(jax.random.PRNGKey(9), jnp.zeros((1, WINDOW_FEATS, 512)))
 
     pipe = DiffFoleyPipeline(
-        ldm, params, vae_params, classifier=(clf.apply, cp, ep, enc)
+        ldm, params, vae_params, classifier=(clf.apply, cp)
     )
     feats = np.random.default_rng(0).normal(size=(2 * WINDOW_FEATS, 512))
     out = pipe.generate(
