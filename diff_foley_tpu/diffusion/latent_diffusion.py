@@ -210,6 +210,7 @@ class LatentDiffusion:
         classifier=None,  # (apply_fn, params) or None
         classifier_scale: float = 0.0,
         x_T: Optional[jnp.ndarray] = None,
+        **solver_kwargs,
     ) -> jnp.ndarray:
         """Sample latents conditioned on CAVP features.
 
@@ -256,9 +257,16 @@ class LatentDiffusion:
                 k_init, (b, *latent_hw, self.cfg.unet.in_channels)
             )
         if sampler == "dpm":
-            return dpm_solver_sample(eps_fn, self.schedule, x_T, steps=steps)
+            # solver_kwargs expose the full DPM-Solver library (order, method,
+            # skip_type, solver_type, thresholding, adaptive tolerances, …);
+            # defaults are the shipped operating point (sampler.py:83,154)
+            return dpm_solver_sample(
+                eps_fn, self.schedule, x_T, steps=steps, **solver_kwargs
+            )
         if sampler == "ddim":
-            return ddim_sample(eps_fn, self.schedule, x_T, k_samp, steps=steps)
+            return ddim_sample(
+                eps_fn, self.schedule, x_T, k_samp, steps=steps, **solver_kwargs
+            )
         if sampler == "plms":
             return plms_sample(eps_fn, self.schedule, x_T, steps=steps)
         raise ValueError(f"unknown sampler '{sampler}'")

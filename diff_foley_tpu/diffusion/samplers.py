@@ -18,7 +18,7 @@ Every sampler takes a *guided* eps_fn built by diffusion.guidance, giving
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -145,36 +145,125 @@ def ddim_decode(
 
 
 # --------------------------------------------------------------------------
-# DPM-Solver++(2M)  — the shipped inference operating point
+# DPM-Solver library — multistep / singlestep / singlestep_fixed / adaptive,
+# orders 1-3, both model parameterisations, dynamic thresholding.
+#
+# The shipped inference operating point (sampler.py:83,154) is
+# method='multistep', order=2, time_uniform, predict_x0, lower_order_final —
+# the defaults of dpm_solver_sample below.  Everything beyond it mirrors the
+# general library at dpm_solver.py:351-675.
+#
+# TPU-first design: every non-adaptive mode has a STATIC time grid, so all
+# schedule math (NoiseScheduleVP marginals, λ↔t inversion, per-step update
+# coefficients) is precomputed host-side in float64 and the on-device program
+# is model calls + a handful of fused scalar·tensor ops — multistep as one
+# `lax.scan`, singlestep unrolled (≤ steps model calls).  Only the adaptive
+# controller (data-dependent step size, dpm_solver.py:460-514) runs its
+# schedule math on device, inside a `lax.while_loop`.
 # --------------------------------------------------------------------------
 
-class _DPMTables(NamedTuple):
-    t_model: jnp.ndarray      # (steps+1,) model-input times (t_cont - 1/N)*1000
-    alpha: jnp.ndarray        # (steps+1,)
-    sigma: jnp.ndarray        # (steps+1,)
-    lam: jnp.ndarray          # (steps+1,)
-    s_t: jnp.ndarray          # (steps+1,) classifier scale = sigma_t
+class _NSMath:
+    """NoiseScheduleVP('discrete') marginal functions (dpm_solver.py:95-175).
+
+    Parameterised by the array module: `np` (float64, host-side grid
+    precompute) or `jnp` (on-device, adaptive mode). Piecewise-linear
+    interpolation over the (t, log ᾱ^½) table matches the reference's
+    interpolate_fn within the table bounds (all sampling times lie inside).
+    """
+
+    def __init__(self, xp, alphas_cumprod):
+        self.xp = xp
+        ac = np.asarray(alphas_cumprod, dtype=np.float64)
+        self.N = len(ac)
+        self.T = 1.0
+        la = 0.5 * np.log(ac)                       # log α_t at t=(i+1)/N
+        ta = np.linspace(0.0, 1.0, self.N + 1)[1:]
+        if xp is jnp:
+            self.t_arr = jnp.asarray(ta, jnp.float32)
+            self.la_arr = jnp.asarray(la, jnp.float32)
+        else:
+            self.t_arr, self.la_arr = ta, la
+
+    def log_mean_coeff(self, t):
+        return self.xp.interp(t, self.t_arr, self.la_arr)
+
+    def alpha(self, t):
+        return self.xp.exp(self.log_mean_coeff(t))
+
+    def std(self, t):
+        return self.xp.sqrt(1.0 - self.xp.exp(2.0 * self.log_mean_coeff(t)))
+
+    def lam(self, t):
+        la = self.log_mean_coeff(t)
+        return la - 0.5 * self.xp.log(1.0 - self.xp.exp(2.0 * la))
+
+    def inv_lam(self, lamb):
+        # λ → log α → t, over the flipped (ascending) table (dpm_solver.py:166-171)
+        la = -0.5 * self.xp.logaddexp(
+            self.xp.zeros_like(lamb) if self.xp is jnp else 0.0, -2.0 * lamb
+        )
+        return self.xp.interp(la, self.la_arr[::-1], self.t_arr[::-1])
+
+    def t_model(self, t):
+        # get_model_input_time for discrete schedules (dpm_solver.py:249-257)
+        return (t - 1.0 / self.N) * 1000.0
 
 
-def _dpm_tables(schedule: DiffusionSchedule, steps: int) -> _DPMTables:
-    """Precompute the NoiseScheduleVP('discrete') marginals on the
-    time_uniform grid (dpm_solver.py:95-160), float64 host-side."""
-    ac = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
-    N = len(ac)
-    log_alpha_arr = 0.5 * np.log(ac)  # at t = (i+1)/N
-    t_arr = np.linspace(0.0, 1.0, N + 1)[1:]
+def _get_time_steps(ns: _NSMath, skip_type: str, t_T: float, t_0: float, N: int):
+    """Sampling time grid (dpm_solver.py:409-434), host-side float64."""
+    if skip_type == "logSNR":
+        lam_grid = np.linspace(ns.lam(t_T), ns.lam(t_0), N + 1)
+        return ns.inv_lam(lam_grid)
+    if skip_type == "time_uniform":
+        return np.linspace(t_T, t_0, N + 1)
+    if skip_type == "time_quadratic":
+        return np.linspace(t_T ** 0.5, t_0 ** 0.5, N + 1) ** 2
+    raise ValueError(f"unsupported skip_type '{skip_type}'")
 
-    t_T, t_0 = 1.0, 1.0 / N
-    t_grid = np.linspace(t_T, t_0, steps + 1)
 
-    log_alpha = np.interp(t_grid, t_arr, log_alpha_arr)  # piecewise-linear
-    alpha = np.exp(log_alpha)
-    sigma = np.sqrt(1.0 - np.exp(2.0 * log_alpha))
-    lam = log_alpha - np.log(sigma)
-    t_model = (t_grid - 1.0 / N) * 1000.0  # get_model_input_time (discrete)
+def _threshold(x0: jnp.ndarray, max_val: float) -> jnp.ndarray:
+    """Imagen dynamic thresholding (dpm_solver.py:373-381): clamp x0 to the
+    per-sample p=0.995 quantile of |x0| (floored at max_val) and renormalise."""
+    flat = jnp.abs(x0).reshape(x0.shape[0], -1)
+    s = jnp.quantile(flat, 0.995, axis=1)
+    s = jnp.maximum(s, max_val).reshape(-1, *([1] * (x0.ndim - 1)))
+    return jnp.clip(x0, -s, s) / s
 
-    f = lambda a: jnp.asarray(a, jnp.float32)
-    return _DPMTables(f(t_model), f(alpha), f(sigma), f(lam), f(sigma))
+
+def _bc(v, ndim: int):
+    """Broadcast a (B,)-shaped on-device coefficient over trailing axes;
+    host-side python-float coefficients pass through (weakly typed)."""
+    if isinstance(v, jnp.ndarray) and v.ndim == 1:
+        return v.reshape(-1, *([1] * (ndim - 1)))
+    return v
+
+
+class _DPMModel:
+    """eps_fn + schedule → the solver's model function m(x, t):
+    ε itself (predict_x0=False) or the (optionally thresholded) data
+    prediction (dpm_solver.py:385-408). Classifier-guidance scale = σ_t
+    (model_wrapper_with_classifier, dpm_solver.py:1392)."""
+
+    def __init__(self, eps_fn, predict_x0, thresholding, max_val):
+        self.eps_fn = eps_fn
+        self.predict_x0 = predict_x0
+        self.thresholding = thresholding
+        self.max_val = max_val
+
+    def __call__(self, x, t_model, alpha_t, sigma_t):
+        b = x.shape[0]
+        t_vec = (
+            jnp.full((b,), t_model, x.dtype)
+            if not (isinstance(t_model, jnp.ndarray) and t_model.ndim == 1)
+            else t_model.astype(x.dtype)
+        )
+        eps = self.eps_fn(x, t_vec, _bc(sigma_t, x.ndim))
+        if not self.predict_x0:
+            return eps
+        x0 = (x - _bc(sigma_t, x.ndim) * eps) / _bc(alpha_t, x.ndim)
+        if self.thresholding:
+            x0 = _threshold(x0, self.max_val)
+        return x0
 
 
 def dpm_solver_sample(
@@ -182,61 +271,482 @@ def dpm_solver_sample(
     schedule: DiffusionSchedule,
     x_T: jnp.ndarray,
     steps: int = 25,
+    *,
+    order: int = 2,
+    method: str = "multistep",
+    skip_type: str = "time_uniform",
+    solver_type: str = "dpm_solver",
+    predict_x0: bool = True,
+    thresholding: bool = False,
+    max_val: float = 1.0,
+    lower_order_final: bool = True,
+    denoise_to_zero: bool = False,
+    t_start: Optional[float] = None,
+    t_end: Optional[float] = None,
+    atol: float = 0.0078,
+    rtol: float = 0.05,
 ) -> jnp.ndarray:
-    """Multistep DPM-Solver++ order 2 (predict_x0, 'dpm_solver' type).
+    """DPM-Solver sampling (DPM_Solver.sample, dpm_solver.py:516-675).
 
-    Mirrors DPM_Solver.sample(method='multistep', order=2, time_uniform,
-    lower_order_final) at dpm_solver.py:1077-1106 with the data-prediction
-    updates at dpm_solver.py:785-796 (second order) and the first-order
-    DPM-Solver++ step.  `steps` NFE total (no eval at the final time).
+    Defaults are the shipped Diff-Foley inference configuration
+    (sampler.py:83,154): DPM-Solver++ multistep order 2, uniform time grid,
+    lower_order_final. `steps` is the NFE budget (ignored by 'adaptive').
     """
-    assert steps >= 2
-    tb = _dpm_tables(schedule, steps)
-    b = x_T.shape[0]
+    ns = _NSMath(np, schedule.alphas_cumprod)
+    t_0 = 1.0 / ns.N if t_end is None else t_end
+    t_T = ns.T if t_start is None else t_start
+    model = _DPMModel(eps_fn, predict_x0, thresholding, max_val)
 
-    def model_x0(x, i):
-        """ε-model → data prediction at grid index i (model_wrapper +
-        data_prediction_fn, thresholding=False)."""
-        t_vec = jnp.full((b,), tb.t_model[i], x.dtype)
-        eps = eps_fn(x, t_vec, tb.s_t[i])
-        return (x - tb.sigma[i] * eps) / tb.alpha[i]
-
-    # ---- init: first-order update t_0 → t_1 ----
-    # carries are kept in x_T's dtype (bf16 in, bf16 through the scan)
-    m0 = model_x0(x_T, 0).astype(x_T.dtype)
-    h1 = tb.lam[1] - tb.lam[0]
-    x = (
-        (tb.sigma[1] / tb.sigma[0]) * x_T
-        - tb.alpha[1] * jnp.expm1(-h1) * m0
-    ).astype(x_T.dtype)
-
-    # ---- scan: second-order multistep updates t_i → t_{i+1}, i = 1..steps-1.
-    # lower_order_final (dpm_solver.py:1094): for steps < 15 the final update
-    # drops to first order (the D1_0 correction is zeroed).
-    idx = jnp.arange(1, steps)
-    order2 = np.ones(steps - 1, np.float32)
-    if steps < 15:
-        order2[-1] = 0.0
-    order2 = jnp.asarray(order2)
-
-    def step(carry, per):
-        i, o2 = per
-        x, m_prev1 = carry
-        m_prev0 = model_x0(x, i)
-        lam_p1, lam_p0, lam_t = tb.lam[i - 1], tb.lam[i], tb.lam[i + 1]
-        h = lam_t - lam_p0
-        h0 = lam_p0 - lam_p1
-        r0 = h0 / h
-        D1_0 = (m_prev0 - m_prev1) / r0
-        phi = jnp.expm1(-h)
-        x_new = (
-            (tb.sigma[i + 1] / tb.sigma[i]) * x
-            - tb.alpha[i + 1] * phi * m_prev0
-            - o2 * 0.5 * tb.alpha[i + 1] * phi * D1_0
+    if method == "multistep":
+        x = _dpm_multistep(
+            model, ns, x_T, steps, order, skip_type, solver_type,
+            predict_x0, lower_order_final, t_T, t_0,
         )
-        return (x_new.astype(x.dtype), m_prev0.astype(m_prev1.dtype)), None
+    elif method in ("singlestep", "singlestep_fixed"):
+        x = _dpm_singlestep(
+            model, ns, x_T, steps, order, skip_type, method, solver_type,
+            predict_x0, t_T, t_0,
+        )
+    elif method == "adaptive":
+        x = _dpm_adaptive(
+            model, schedule, x_T, order, solver_type, predict_x0,
+            t_T, t_0, atol, rtol,
+        )
+    else:
+        raise ValueError(f"unsupported method '{method}'")
 
-    (x, _), _ = jax.lax.scan(step, (x, m0), (idx, order2))
+    if denoise_to_zero:
+        # final first-order denoise λ→∞ (dpm_solver.py:498-502,673-674)
+        x0_model = _DPMModel(eps_fn, True, thresholding, max_val)
+        x = x0_model(x, ns.t_model(t_0), float(ns.alpha(t_0)), float(ns.std(t_0)))
+    return x.astype(x_T.dtype)
+
+
+def _dpm_multistep(
+    model, ns, x_T, steps, order, skip_type, solver_type,
+    predict_x0, lower_order_final, t_T, t_0,
+):
+    """Multistep orders 1-3 as ONE masked `lax.scan` (dpm_solver.py:628-656).
+
+    The reference's warm-up (first `order` steps at increasing order) and
+    lower_order_final tail are static per-step order choices, so they become
+    precomputed coefficient tables: cd1/cd2 are exactly zero where the
+    D1/D2 corrections are disabled and the scan body never branches.
+    """
+    assert steps >= order and 1 <= order <= 3
+    if solver_type not in ("dpm_solver", "taylor"):
+        raise ValueError(f"unsupported solver_type '{solver_type}'")
+    tg = _get_time_steps(ns, skip_type, t_T, t_0, steps)  # (steps+1,) f64
+    la_g = ns.log_mean_coeff(tg)
+    alpha = np.exp(la_g)
+    sigma = np.sqrt(1.0 - np.exp(2.0 * la_g))
+    lam = la_g - np.log(sigma)
+    t_model = ns.t_model(tg)
+
+    def upd_order(k):  # order of the update landing on grid point k
+        if k < order:
+            return k
+        if lower_order_final and steps < 15:
+            return min(order, steps + 1 - k)
+        return order
+
+    # Per-scan-step (i = 0..steps-1: model eval at grid i, update i→i+1)
+    # coefficients, float64 host-side:  x' = cx·x + cm·m0 + cd1·Deff + cd2·D2
+    # with Deff = D1_0 + w3·(D1_0 − D1_1).
+    C = {k: np.zeros(steps) for k in
+         ("cx", "cm", "cd1", "cd2", "inv_r0", "w3", "inv_r01")}
+    for i in range(steps):
+        o = upd_order(i + 1)
+        h = lam[i + 1] - lam[i]
+        if predict_x0:
+            phi1 = np.expm1(-h)
+            cx = sigma[i + 1] / sigma[i]
+            cm = -(alpha[i + 1] * phi1)
+            cd1_2dpm = -0.5 * alpha[i + 1] * phi1
+            cd1_tay = alpha[i + 1] * (phi1 / h + 1.0)
+            cd2 = -(alpha[i + 1] * ((phi1 + h) / h ** 2 - 0.5))
+        else:
+            phi1 = np.expm1(h)
+            cx = np.exp(la_g[i + 1] - la_g[i])
+            cm = -(sigma[i + 1] * phi1)
+            cd1_2dpm = -0.5 * sigma[i + 1] * phi1
+            cd1_tay = -(sigma[i + 1] * (phi1 / h - 1.0))
+            cd2 = -(sigma[i + 1] * ((phi1 - h) / h ** 2 - 0.5))
+        C["cx"][i], C["cm"][i] = cx, cm
+        if o >= 2:
+            h0 = lam[i] - lam[i - 1]
+            r0 = h0 / h
+            C["inv_r0"][i] = 1.0 / r0
+            C["cd1"][i] = (
+                cd1_tay if (o == 3 or solver_type == "taylor") else cd1_2dpm
+            )
+        if o == 3:
+            h1 = lam[i - 1] - lam[i - 2]
+            r1 = h1 / h
+            C["w3"][i] = r0 / (r0 + r1)
+            C["inv_r01"][i] = 1.0 / (r0 + r1)
+            C["cd2"][i] = cd2
+    tbl = {k: jnp.asarray(v, jnp.float32) for k, v in C.items()}
+    # model evaluation happens at grid index i (= the step's start point)
+    tbl["t_model"] = jnp.asarray(t_model[:-1], jnp.float32)
+    tbl["alpha"] = jnp.asarray(alpha[:-1], jnp.float32)
+    tbl["sigma"] = jnp.asarray(sigma[:-1], jnp.float32)
+
+    # D1_1 = (m1 − m2)/r1 needs 1/r1 per step; zero where order < 3.
+    inv_r1 = np.zeros(steps)
+    for i in range(steps):
+        if upd_order(i + 1) == 3:
+            h = lam[i + 1] - lam[i]
+            inv_r1[i] = h / (lam[i - 1] - lam[i - 2])
+    tbl["inv_r1"] = jnp.asarray(inv_r1, jnp.float32)
+
+    def step(carry, c):
+        x, m1, m2 = carry
+        m0 = model(x, c["t_model"], c["alpha"], c["sigma"])
+        D1_0 = (m0 - m1) * c["inv_r0"]
+        D1_1 = (m1 - m2) * c["inv_r1"]
+        Deff = D1_0 + c["w3"] * (D1_0 - D1_1)
+        D2 = (D1_0 - D1_1) * c["inv_r01"]
+        x_new = c["cx"] * x + c["cm"] * m0 + c["cd1"] * Deff + c["cd2"] * D2
+        # cast back: fp32 table scalars would otherwise promote a bf16 carry
+        return (x_new.astype(x.dtype), m0.astype(x.dtype), m1), None
+
+    z = jnp.zeros_like(x_T)
+    (x, _, _), _ = jax.lax.scan(step, (x_T, z, z), tbl)
+    return x
+
+
+def _ss_update(model, ns, x, s, t, order, r1, r2, solver_type, predict_x0):
+    """One singlestep DPM-Solver update of the given order from time s to t
+    (dpm_solver.py:504-758). All schedule coefficients are host-side f64
+    floats; only the 1-3 model calls and their combinations run on device."""
+    f = float
+    lam_s, lam_t = ns.lam(s), ns.lam(t)
+    h = lam_t - lam_s
+    m_s = model(x, f(ns.t_model(s)), f(ns.alpha(s)), f(ns.std(s)))
+    if order == 1:
+        if predict_x0:
+            x_t = f(ns.std(t) / ns.std(s)) * x - f(ns.alpha(t) * np.expm1(-h)) * m_s
+        else:
+            x_t = (
+                f(np.exp(ns.log_mean_coeff(t) - ns.log_mean_coeff(s))) * x
+                - f(ns.std(t) * np.expm1(h)) * m_s
+            )
+        return x_t.astype(x.dtype)
+
+    s1 = ns.inv_lam(lam_s + r1 * h)
+    if predict_x0:
+        x_s1 = (
+            f(ns.std(s1) / ns.std(s)) * x
+            - f(ns.alpha(s1) * np.expm1(-r1 * h)) * m_s
+        )
+    else:
+        x_s1 = (
+            f(np.exp(ns.log_mean_coeff(s1) - ns.log_mean_coeff(s))) * x
+            - f(ns.std(s1) * np.expm1(r1 * h)) * m_s
+        )
+    m_s1 = model(
+        x_s1.astype(x.dtype), f(ns.t_model(s1)), f(ns.alpha(s1)), f(ns.std(s1))
+    )
+
+    if order == 2:
+        if predict_x0:
+            phi1 = np.expm1(-h)
+            cx, base = f(ns.std(t) / ns.std(s)), ns.alpha(t) * phi1
+            cd = (
+                -(0.5 / r1) * base
+                if solver_type == "dpm_solver"
+                else (1.0 / r1) * ns.alpha(t) * (phi1 / h + 1.0)
+            )
+            x_t = cx * x - f(base) * m_s + f(cd) * (m_s1 - m_s)
+        else:
+            phi1 = np.expm1(h)
+            cx = f(np.exp(ns.log_mean_coeff(t) - ns.log_mean_coeff(s)))
+            base = ns.std(t) * phi1
+            cd = (
+                -(0.5 / r1) * base
+                if solver_type == "dpm_solver"
+                else -(1.0 / r1) * ns.std(t) * (phi1 / h - 1.0)
+            )
+            x_t = cx * x - f(base) * m_s + f(cd) * (m_s1 - m_s)
+        return x_t.astype(x.dtype)
+
+    # order == 3 (dpm_solver.py:617-757)
+    s2 = ns.inv_lam(lam_s + r2 * h)
+    if predict_x0:
+        phi1 = np.expm1(-h)
+        phi_22 = np.expm1(-r2 * h) / (r2 * h) + 1.0
+        phi_2 = phi1 / h + 1.0
+        phi_3 = phi_2 / h - 0.5
+        x_s2 = (
+            f(ns.std(s2) / ns.std(s)) * x
+            - f(ns.alpha(s2) * np.expm1(-r2 * h)) * m_s
+            + f(r2 / r1 * ns.alpha(s2) * phi_22) * (m_s1 - m_s)
+        )
+        m_s2 = model(
+            x_s2.astype(x.dtype), f(ns.t_model(s2)), f(ns.alpha(s2)), f(ns.std(s2))
+        )
+        if solver_type == "dpm_solver":
+            x_t = (
+                f(ns.std(t) / ns.std(s)) * x
+                - f(ns.alpha(t) * phi1) * m_s
+                + f((1.0 / r2) * ns.alpha(t) * phi_2) * (m_s2 - m_s)
+            )
+        else:
+            D1_0 = (1.0 / r1) * (m_s1 - m_s)
+            D1_1 = (1.0 / r2) * (m_s2 - m_s)
+            D1 = (r2 * D1_0 - r1 * D1_1) / (r2 - r1)
+            D2 = 2.0 * (D1_1 - D1_0) / (r2 - r1)
+            x_t = (
+                f(ns.std(t) / ns.std(s)) * x
+                - f(ns.alpha(t) * phi1) * m_s
+                + f(ns.alpha(t) * phi_2) * D1
+                - f(ns.alpha(t) * phi_3) * D2
+            )
+    else:
+        phi1 = np.expm1(h)
+        phi_22 = np.expm1(r2 * h) / (r2 * h) - 1.0
+        phi_2 = phi1 / h - 1.0
+        phi_3 = phi_2 / h - 0.5
+        x_s2 = (
+            f(np.exp(ns.log_mean_coeff(s2) - ns.log_mean_coeff(s))) * x
+            - f(ns.std(s2) * np.expm1(r2 * h)) * m_s
+            - f(r2 / r1 * ns.std(s2) * phi_22) * (m_s1 - m_s)
+        )
+        m_s2 = model(
+            x_s2.astype(x.dtype), f(ns.t_model(s2)), f(ns.alpha(s2)), f(ns.std(s2))
+        )
+        cx = f(np.exp(ns.log_mean_coeff(t) - ns.log_mean_coeff(s)))
+        if solver_type == "dpm_solver":
+            x_t = (
+                cx * x
+                - f(ns.std(t) * phi1) * m_s
+                - f((1.0 / r2) * ns.std(t) * phi_2) * (m_s2 - m_s)
+            )
+        else:
+            D1_0 = (1.0 / r1) * (m_s1 - m_s)
+            D1_1 = (1.0 / r2) * (m_s2 - m_s)
+            D1 = (r2 * D1_0 - r1 * D1_1) / (r2 - r1)
+            D2 = 2.0 * (D1_1 - D1_0) / (r2 - r1)
+            x_t = (
+                cx * x
+                - f(ns.std(t) * phi1) * m_s
+                - f(ns.std(t) * phi_2) * D1
+                - f(ns.std(t) * phi_3) * D2
+            )
+    return x_t.astype(x.dtype)
+
+
+def _dpm_singlestep(
+    model, ns, x_T, steps, order, skip_type, method, solver_type,
+    predict_x0, t_T, t_0,
+):
+    """Singlestep DPM-Solver ('DPM-Solver-fast', dpm_solver.py:536-566,
+    657-672): a static order schedule over an outer time grid, each update
+    1-3 NFE. The outer loop is unrolled — every grid and coefficient is a
+    host-side constant, so the traced program is just `steps` model calls.
+
+    Reference quirk, reproduced deliberately as a working generalisation:
+    get_orders_and_timesteps_for_singlestep_solver's non-logSNR branch
+    crashes upstream (`torch.cumsum` missing its dim arg, dpm_solver.py:495),
+    so for method='singlestep' only skip_type='logSNR' is parity-testable.
+    Here the cumsum indexing is implemented correctly for all skip types.
+    """
+    assert 1 <= order <= 3
+    if method == "singlestep":
+        if order == 3:
+            K = steps // 3 + 1
+            orders = {0: [3] * (K - 2) + [2, 1],
+                      1: [3] * (K - 1) + [1],
+                      2: [3] * (K - 1) + [2]}[steps % 3]
+        elif order == 2:
+            K = steps // 2
+            orders = [2] * K if steps % 2 == 0 else [2] * K + [1]
+        else:
+            orders = [1] * steps
+        if skip_type == "logSNR":
+            outer = _get_time_steps(ns, skip_type, t_T, t_0, len(orders))
+        else:
+            grid = _get_time_steps(ns, skip_type, t_T, t_0, steps)
+            outer = grid[np.cumsum([0] + orders)]
+    else:  # singlestep_fixed (dpm_solver.py:660-663)
+        K = steps // order
+        orders = [order] * K
+        outer = _get_time_steps(ns, skip_type, t_T, t_0, K)
+
+    x = x_T
+    for i, o in enumerate(orders):
+        s, t = float(outer[i]), float(outer[i + 1])
+        inner = _get_time_steps(ns, skip_type, s, t, o)
+        lam_inner = ns.lam(inner)
+        h = lam_inner[-1] - lam_inner[0]
+        r1 = None if o <= 1 else float((lam_inner[1] - lam_inner[0]) / h)
+        r2 = None if o <= 2 else float((lam_inner[2] - lam_inner[0]) / h)
+        x = _ss_update(model, ns, x, s, t, o, r1, r2, solver_type, predict_x0)
+    return x
+
+
+def _dpm_adaptive(
+    model, schedule, x_T, order, solver_type, predict_x0, t_T, t_0,
+    atol, rtol, h_init=0.05, theta=0.9, t_err=1e-5,
+):
+    """Adaptive step size solver (dpm_solver.py:460-514) as a
+    `lax.while_loop`: embedded lower/higher-order singlestep pair, accept
+    when the scaled error E ≤ 1, step-size update h ← θ·h·E^(−1/order).
+
+    The step size is data-dependent, so — unlike every other mode — the
+    schedule math runs on device (float32 tables)."""
+    assert order in (2, 3)
+    dns = _NSMath(jnp, schedule.alphas_cumprod)
+    b = x_T.shape[0]
+    ndim = x_T.ndim
+
+    def dev_ss(x, s_vec, t_vec, ord_, r1, r2):
+        """Singlestep update with traced (B,)-shaped times; returns
+        (x_t, intermediates-for-reuse)."""
+        lam_s, lam_t = dns.lam(s_vec), dns.lam(t_vec)
+        h = lam_t - lam_s
+        m_s = model(x, dns.t_model(s_vec), dns.alpha(s_vec), dns.std(s_vec))
+        if ord_ == 1:
+            if predict_x0:
+                x_t = (
+                    _bc(dns.std(t_vec) / dns.std(s_vec), ndim) * x
+                    - _bc(dns.alpha(t_vec) * jnp.expm1(-h), ndim) * m_s
+                )
+            else:
+                x_t = (
+                    _bc(jnp.exp(dns.log_mean_coeff(t_vec)
+                                - dns.log_mean_coeff(s_vec)), ndim) * x
+                    - _bc(dns.std(t_vec) * jnp.expm1(h), ndim) * m_s
+                )
+            return x_t, (m_s, None)
+
+        s1 = dns.inv_lam(lam_s + r1 * h)
+        if predict_x0:
+            x_s1 = (
+                _bc(dns.std(s1) / dns.std(s_vec), ndim) * x
+                - _bc(dns.alpha(s1) * jnp.expm1(-r1 * h), ndim) * m_s
+            )
+        else:
+            x_s1 = (
+                _bc(jnp.exp(dns.log_mean_coeff(s1)
+                            - dns.log_mean_coeff(s_vec)), ndim) * x
+                - _bc(dns.std(s1) * jnp.expm1(r1 * h), ndim) * m_s
+            )
+        m_s1 = model(x_s1, dns.t_model(s1), dns.alpha(s1), dns.std(s1))
+
+        if ord_ == 2:
+            if predict_x0:
+                phi1 = jnp.expm1(-h)
+                base = dns.alpha(t_vec) * phi1
+                cd = (
+                    -(0.5 / r1) * base
+                    if solver_type == "dpm_solver"
+                    else (1.0 / r1) * dns.alpha(t_vec) * (phi1 / h + 1.0)
+                )
+                x_t = (
+                    _bc(dns.std(t_vec) / dns.std(s_vec), ndim) * x
+                    - _bc(base, ndim) * m_s + _bc(cd, ndim) * (m_s1 - m_s)
+                )
+            else:
+                phi1 = jnp.expm1(h)
+                base = dns.std(t_vec) * phi1
+                cd = (
+                    -(0.5 / r1) * base
+                    if solver_type == "dpm_solver"
+                    else -(1.0 / r1) * dns.std(t_vec) * (phi1 / h - 1.0)
+                )
+                x_t = (
+                    _bc(jnp.exp(dns.log_mean_coeff(t_vec)
+                                - dns.log_mean_coeff(s_vec)), ndim) * x
+                    - _bc(base, ndim) * m_s + _bc(cd, ndim) * (m_s1 - m_s)
+                )
+            return x_t, (m_s, m_s1)
+
+        # ord_ == 3 (predict_x0 branch; eps-mode mirrors dpm_solver.py:680-718)
+        s2 = dns.inv_lam(lam_s + r2 * h)
+        if predict_x0:
+            phi1 = jnp.expm1(-h)
+            phi_22 = jnp.expm1(-r2 * h) / (r2 * h) + 1.0
+            phi_2 = phi1 / h + 1.0
+            x_s2 = (
+                _bc(dns.std(s2) / dns.std(s_vec), ndim) * x
+                - _bc(dns.alpha(s2) * jnp.expm1(-r2 * h), ndim) * m_s
+                + _bc(r2 / r1 * dns.alpha(s2) * phi_22, ndim) * (m_s1 - m_s)
+            )
+            m_s2 = model(x_s2, dns.t_model(s2), dns.alpha(s2), dns.std(s2))
+            x_t = (
+                _bc(dns.std(t_vec) / dns.std(s_vec), ndim) * x
+                - _bc(dns.alpha(t_vec) * phi1, ndim) * m_s
+                + _bc((1.0 / r2) * dns.alpha(t_vec) * phi_2, ndim) * (m_s2 - m_s)
+            )
+        else:
+            phi1 = jnp.expm1(h)
+            phi_22 = jnp.expm1(r2 * h) / (r2 * h) - 1.0
+            phi_2 = phi1 / h - 1.0
+            x_s2 = (
+                _bc(jnp.exp(dns.log_mean_coeff(s2)
+                            - dns.log_mean_coeff(s_vec)), ndim) * x
+                - _bc(dns.std(s2) * jnp.expm1(r2 * h), ndim) * m_s
+                - _bc(r2 / r1 * dns.std(s2) * phi_22, ndim) * (m_s1 - m_s)
+            )
+            m_s2 = model(x_s2, dns.t_model(s2), dns.alpha(s2), dns.std(s2))
+            x_t = (
+                _bc(jnp.exp(dns.log_mean_coeff(t_vec)
+                            - dns.log_mean_coeff(s_vec)), ndim) * x
+                - _bc(dns.std(t_vec) * phi1, ndim) * m_s
+                - _bc((1.0 / r2) * dns.std(t_vec) * phi_2, ndim) * (m_s2 - m_s)
+            )
+        return x_t, (m_s, m_s1)
+
+    if order == 2:
+        r1 = 0.5
+
+        def lower(x, s, t):
+            return dev_ss(x, s, t, 1, None, None)
+
+        def higher(x, s, t):
+            return dev_ss(x, s, t, 2, r1, None)[0]
+    else:
+        r1, r2 = 1.0 / 3.0, 2.0 / 3.0
+
+        def lower(x, s, t):
+            return dev_ss(x, s, t, 2, r1, None)
+
+        def higher(x, s, t):
+            return dev_ss(x, s, t, 3, r1, r2)[0]
+
+    t0_vec = jnp.full((b,), t_0, jnp.float32)
+    lam_0 = dns.lam(t0_vec)
+    s0 = jnp.full((b,), t_T, jnp.float32)
+
+    def cond(carry):
+        x, x_prev, s, lam_s, h, nfe = carry
+        return jnp.mean(jnp.abs(s - t_0)) > t_err
+
+    def body(carry):
+        x, x_prev, s, lam_s, h, nfe = carry
+        t = dns.inv_lam(lam_s + h)
+        x_lower, _ = lower(x, s, t)
+        x_higher = higher(x, s, t)
+        x_lower = x_lower.astype(x.dtype)
+        x_higher = x_higher.astype(x.dtype)
+        delta = jnp.maximum(
+            atol, rtol * jnp.maximum(jnp.abs(x_lower), jnp.abs(x_prev))
+        )
+        err = ((x_higher - x_lower) / delta).reshape(b, -1)
+        E = jnp.sqrt(jnp.mean(err ** 2, axis=-1)).max()
+        accept = E <= 1.0
+        x = jnp.where(accept, x_higher, x)
+        s = jnp.where(accept, t, s)
+        x_prev = jnp.where(accept, x_lower, x_prev)
+        lam_s = jnp.where(accept, dns.lam(s), lam_s)
+        h = jnp.minimum(theta * h * E ** (-1.0 / order), lam_0 - lam_s)
+        return (x, x_prev, s, lam_s, h, nfe + order)
+
+    h0 = jnp.full((b,), h_init, jnp.float32)
+    carry = (x_T, x_T, s0, dns.lam(s0), h0, jnp.int32(0))
+    x, *_ = jax.lax.while_loop(cond, body, carry)
     return x
 
 
