@@ -520,13 +520,9 @@ class _BNMapper(_Mapper):
         return {"params": self.tree, "batch_stats": self.stats}
 
 
-def convert_cnn14(sd: StateDict, prefix: str = "") -> Dict:
-    """PANN Cnn14 state dict → flax params+batch_stats for cavp.Cnn14.
-
-    Key layout: `open_clip/cnn10.py:297-330` (bn, conv_block{1..6}.{conv1,
-    bn1,conv2,bn2}, fc1, final_project).
-    """
-    m = _BNMapper(sd, prefix)
+def _walk_cnn14(m) -> None:
+    """Shared layout walk for PANN Cnn14 (`open_clip/cnn10.py:297-330`):
+    bn, conv_block{1..6}.{conv1,bn1,conv2,bn2}, fc1, final_project."""
     m.bn("bn0", "bn")
     for i in range(1, 7):
         for j in (1, 2):
@@ -534,17 +530,12 @@ def convert_cnn14(sd: StateDict, prefix: str = "") -> Dict:
             m.bn(f"conv_block{i}/bn{j}", f"conv_block{i}.bn{j}")
     m.dense("fc1", "fc1")
     m.dense("final_project", "final_project")
-    return m.result()
 
 
-def convert_slowonly(sd: StateDict, prefix: str = "",
-                     stage_blocks=(3, 4, 6, 3)) -> Dict:
-    """mmaction ResNet3dSlowOnly state dict → flax params+batch_stats.
-
-    Key layout: `audio_contrastive.py:345-1277` (conv1.conv/bn,
-    layer{s}.{b}.conv{1,2,3}.conv/bn, layer{s}.{b}.downsample.conv/bn).
-    """
-    m = _BNMapper(sd, prefix)
+def _walk_slowonly(m, stage_blocks=(3, 4, 6, 3)) -> None:
+    """Shared layout walk for mmaction ResNet3dSlowOnly
+    (`audio_contrastive.py:345-1277`): conv1.conv/bn,
+    layer{s}.{b}.conv{1,2,3}.conv/bn, layer{s}.{b}.downsample.conv/bn."""
 
     def convmod(my: str, torch: str) -> None:
         m.conv3d(f"{my}/conv", f"{torch}.conv")
@@ -559,6 +550,20 @@ def convert_slowonly(sd: StateDict, prefix: str = "",
                 convmod(f"{my}/{c}", f"{tk}.{c}")
             if b == 0:
                 convmod(f"{my}/downsample", f"{tk}.downsample")
+
+
+def convert_cnn14(sd: StateDict, prefix: str = "") -> Dict:
+    """PANN Cnn14 state dict → flax params+batch_stats for cavp.Cnn14."""
+    m = _BNMapper(sd, prefix)
+    _walk_cnn14(m)
+    return m.result()
+
+
+def convert_slowonly(sd: StateDict, prefix: str = "",
+                     stage_blocks=(3, 4, 6, 3)) -> Dict:
+    """mmaction ResNet3dSlowOnly state dict → flax params+batch_stats."""
+    m = _BNMapper(sd, prefix)
+    _walk_slowonly(m, stage_blocks)
     return m.result()
 
 
@@ -583,6 +588,93 @@ def convert_cavp(sd: StateDict, prefix: str = "") -> Dict:
         "spec_encoder": spec["batch_stats"],
     }
     return {"params": params, "batch_stats": stats}
+
+
+class _BNExportMapper(_ExportMapper):
+    """Export direction of _BNMapper: flax params+batch_stats → reference
+    torch key layout, including BatchNorm running stats and
+    num_batches_tracked (torch BN buffers the reference state_dict carries)."""
+
+    def __init__(self, variables: Dict, prefix: str = ""):
+        super().__init__(variables.get("params", {}), prefix)
+        self.stats = variables.get("batch_stats", {})
+        self._n_stats_exported = 0
+
+    def bn(self, my: str, torch: str) -> None:
+        self.take(f"{my}/scale", f"{torch}.weight", _id)
+        self.take(f"{my}/bias", f"{torch}.bias", _id)
+        for src, dst in (("mean", "running_mean"), ("var", "running_var")):
+            self.out[self.prefix + f"{torch}.{dst}"] = np.asarray(
+                _get(self.stats, f"{my}/{src}")
+            )
+            self._n_stats_exported += 1
+        # torch BN state dicts include this counter buffer; the value only
+        # matters for momentum=None BN, which the reference never uses
+        self.out[self.prefix + f"{torch}.num_batches_tracked"] = np.asarray(
+            0, dtype=np.int64
+        )
+
+    def conv3d(self, my: str, torch: str) -> None:
+        self.take(f"{my}/kernel", f"{torch}.weight", _conv3d)
+
+    def conv2d_nobias(self, my: str, torch: str) -> None:
+        self.take(f"{my}/kernel", f"{torch}.weight", _conv)
+
+    def assert_complete(self) -> None:
+        super().assert_complete()
+        n_stats = len(jax.tree_util.tree_leaves(self.stats))
+        if n_stats != self._n_stats_exported:
+            raise ValueError(
+                f"export incomplete: {self._n_stats_exported} exported "
+                f"batch-stat leaves for {n_stats} present"
+            )
+
+
+def export_cavp(variables: Dict, prefix: str = "") -> Dict:
+    """flax CAVPModel variables → reference CLIP_Video_Spec state dict
+    (numpy arrays, torch key layout `open_clip/model.py:457-671`).
+
+    The two-way door for stage 1: a CAVP trained here loads back into the
+    reference factory (`create_model_video_spec`) / `CAVP_Inference`.
+    Wrap with `export_cavp_checkpoint` for the training-checkpoint envelope.
+    """
+    params = variables.get("params", variables)
+    stats = variables.get("batch_stats", {})
+
+    def sub(name):
+        return {
+            "params": params.get(name, {}),
+            "batch_stats": stats.get(name, {}),
+        }
+
+    mv = _BNExportMapper(sub("video_encoder"), prefix + "video_encoder.")
+    _walk_slowonly(mv)
+    mv.assert_complete()
+    ms = _BNExportMapper(sub("spec_encoder"), prefix + "spec_encoder.")
+    _walk_cnn14(ms)
+    ms.assert_complete()
+    mh = _ExportMapper({"video_project_head": params["video_project_head"]},
+                       prefix)
+    mh.dense("video_project_head", "video_project_head")
+    mh.assert_complete()
+    out = {**mv.out, **ms.out, **mh.out}
+    out[prefix + "logit_scale"] = np.asarray(params["logit_scale"]).reshape(())
+    # spec_project_head is Identity in the shipped config (model.py:543-551):
+    # no parameters to emit.
+    return out
+
+
+def export_cavp_checkpoint(variables: Dict, epoch: int = 0,
+                           name: str = "diff_foley_tpu_cavp") -> Dict:
+    """Wrap an exported CAVP state dict in the reference training-checkpoint
+    envelope (`main_wds_intra_contrast.py:393-421`): {epoch, name,
+    state_dict}; optimizer/scaler states are torch-specific and omitted —
+    the reference's resume path only requires them when resuming training."""
+    return {
+        "epoch": epoch,
+        "name": name,
+        "state_dict": export_cavp(variables),
+    }
 
 
 def split_ldm_state_dict(sd: StateDict) -> Tuple[Dict, Dict, Dict]:

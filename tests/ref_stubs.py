@@ -61,8 +61,15 @@ class _ConvModule(tnn.Module):
                 dilation=dilation, groups=groups, bias=bias,
             )
         _, self.bn = _build_norm_layer(norm_cfg, out_ch)
-        self.norm = self.bn
         self.with_act = act_cfg is not None
+
+    @property
+    def norm(self):
+        # real mmcv registers the norm layer ONLY under norm_name ('bn' for
+        # BatchNorm), exposing `.norm` as a property — registering it as a
+        # second submodule here would put phantom `.norm.*` keys in
+        # state_dict() that no real mmaction checkpoint has.
+        return self.bn
 
     def forward(self, x):
         x = self.bn(self.conv(x))

@@ -112,3 +112,61 @@ def test_cavp_model_full_parity(ref_modules):
         method=lambda m, a: m.encode_spec(a, pool=False),
     )
     np.testing.assert_allclose(np.asarray(sj), sf.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_cavp_export_loads_into_reference_model(ref_modules):
+    """The exported state dict must load into the reference torch CAVP with
+    strict=True (exact key/shape match, incl. BN buffers) and produce the
+    same features the jax model does — the stage-1 checkpoint door works in
+    the jax→torch direction (layout: open_clip/model.py:457-671)."""
+    from diff_foley_tpu.models.cavp.cavp import CAVPModel
+    from diff_foley_tpu.utils.convert import export_cavp
+
+    import torch.nn as tnn
+
+    class TorchCAVP(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.video_encoder = ref_modules.ResNet3dSlowOnly(
+                depth=50, pretrained=None
+            )
+            self.video_project_head = tnn.Linear(2048, 512)
+            self.spec_encoder = ref_modules.Cnn14(embed_dim=512)
+            self.logit_scale = tnn.Parameter(
+                torch.ones([]) * np.log(1 / 0.07)
+            )
+
+    model = CAVPModel()
+    variables = model.init(
+        jax.random.PRNGKey(11),
+        jnp.zeros((1, 4, 32, 32, 3)),
+        jnp.zeros((1, 128, 64)),
+        train=False,
+    )
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_cavp(variables).items()}
+
+    tmodel = TorchCAVP().eval()
+    missing, unexpected = tmodel.load_state_dict(sd, strict=True), None
+    rng = np.random.default_rng(5)
+    video = rng.normal(size=(1, 4, 64, 64, 3)).astype(np.float32)
+    spec = rng.normal(size=(1, 128, 64)).astype(np.float32)
+
+    with torch.no_grad():
+        v = torch.from_numpy(video.transpose(0, 4, 1, 2, 3))
+        vf = tmodel.video_encoder(v).squeeze(-1).squeeze(-1).permute(0, 2, 1)
+        vf = tmodel.video_project_head(vf)
+        sf = tmodel.spec_encoder(
+            torch.from_numpy(spec).unsqueeze(1).permute(0, 1, 3, 2)
+        )
+
+    vj = model.apply(
+        variables, jnp.asarray(video),
+        method=lambda m, a: m.encode_video(a, pool=False),
+    )
+    np.testing.assert_allclose(np.asarray(vj), vf.numpy(), rtol=1e-3, atol=1e-3)
+    sj = model.apply(
+        variables, jnp.asarray(spec),
+        method=lambda m, a: m.encode_spec(a, pool=False),
+    )
+    np.testing.assert_allclose(np.asarray(sj), sf.numpy(), rtol=1e-3, atol=1e-3)

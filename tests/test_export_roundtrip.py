@@ -73,3 +73,47 @@ def test_composite_ldm_export_splits_back():
     _trees_equal(up["params"], convert_unet(u, UCFG)["params"])
     _trees_equal(vp["params"], convert_vae(v, VCFG)["params"])
     _trees_equal(ep["params"], convert_cond_encoder(c)["params"])
+
+
+def test_cavp_export_roundtrip():
+    """Stage-1 two-way door: jax CAVP variables → reference state dict →
+    back through convert_cavp, bit-exact (params AND BN running stats)."""
+    from diff_foley_tpu.models.cavp.cavp import CAVPModel
+    from diff_foley_tpu.utils.convert import convert_cavp, export_cavp
+
+    model = CAVPModel()
+    variables = model.init(
+        jax.random.PRNGKey(3),
+        jnp.zeros((1, 4, 32, 32, 3)),
+        jnp.zeros((1, 128, 64)),
+        train=False,
+    )
+    sd = export_cavp(variables)
+    assert all(isinstance(v, np.ndarray) for v in sd.values())
+    # reference layout spot checks (open_clip/model.py:457-671)
+    assert sd["video_encoder.conv1.conv.weight"].shape == (64, 3, 1, 7, 7)
+    assert sd["spec_encoder.conv_block1.conv1.weight"].shape == (64, 1, 3, 3)
+    assert sd["video_project_head.weight"].shape == (512, 2048)
+    assert sd["logit_scale"].shape == ()
+    assert "spec_encoder.bn.running_mean" in sd
+
+    back = convert_cavp(sd)
+    _trees_equal(variables["params"], back["params"])
+    _trees_equal(variables["batch_stats"], back["batch_stats"])
+
+
+def test_cavp_export_checkpoint_envelope():
+    from diff_foley_tpu.models.cavp.cavp import CAVPModel
+    from diff_foley_tpu.utils.convert import export_cavp_checkpoint
+
+    model = CAVPModel()
+    variables = model.init(
+        jax.random.PRNGKey(4),
+        jnp.zeros((1, 4, 32, 32, 3)),
+        jnp.zeros((1, 128, 64)),
+        train=False,
+    )
+    ckpt = export_cavp_checkpoint(variables, epoch=7, name="unit")
+    # envelope shape of main_wds_intra_contrast.py:393-421
+    assert ckpt["epoch"] == 7 and ckpt["name"] == "unit"
+    assert "state_dict" in ckpt and "logit_scale" in ckpt["state_dict"]
