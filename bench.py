@@ -178,6 +178,103 @@ def bench_train_step(extras):
     extras["train_step_ms"] = round(dt * 1e3, 1)
     extras["train_samples_per_s"] = round(batch_size / dt, 2)
 
+    # training-step MFU: fwd+bwd FLOPs from XLA cost analysis over the
+    # measured step time (anchors samples/s to the hardware peak)
+    try:
+        # .lower on the same jitted fn hits the already-compiled executable
+        costs = step.lower(state, vae_params, batch, rng).compile().cost_analysis()
+        flops = costs.get("flops", 0.0)
+        extras["train_mfu_pct"] = round(100.0 * flops / dt / V5E_BF16_PEAK, 1)
+    except Exception:
+        extras["train_mfu_pct"] = None
+
+    try:
+        bench_fed_train(extras, ldm, tcfg, step, state, vae_params, batch_size)
+    except Exception as e:
+        extras["fed_train_error"] = str(e)[:200]
+
+
+def _make_synthetic_ldm_data(root, n_items: int):
+    """Synthetic on-disk dataset in the reference layout
+    (video_spec_dataset.py:40-52): 10-s mel specs + 4-FPS CAVP features."""
+    import os
+
+    rng = np.random.default_rng(0)
+    os.makedirs(root, exist_ok=True)
+    spec_paths, feat_paths = [], []
+    for i in range(n_items):
+        sp = f"{root}/{i}_mel.npy"
+        fp = f"{root}/{i}.npz"
+        if not (os.path.exists(sp) and os.path.exists(fp)):
+            np.save(sp, rng.uniform(size=(128, 625)).astype(np.float32))
+            np.savez(fp, feat=rng.normal(size=(40, 512)).astype(np.float32))
+        spec_paths.append(sp)
+        feat_paths.append(fp)
+    return spec_paths, feat_paths
+
+
+def bench_fed_train(extras, ldm, tcfg, step, state, vae_params, batch_size):
+    """The FED training loop: the flagship step driven by the real host data
+    pipeline (SpecFeatDataset crop/concat-mix augmentation + threaded
+    PrefetchLoader) over synthetic on-disk npy/npz — the reference's dominant
+    workload incl. its data path (launch.sh; train_wds_intra_contrast.py
+    data-time meters). Reports steady-state fed_train_samples_per_s next to
+    the zeros-batch number, plus the loader-only rate for attribution."""
+    import tempfile
+
+    from diff_foley_tpu.data.ldm_dataset import SpecFeatDataset
+    from diff_foley_tpu.data.loader import PrefetchLoader
+
+    from diff_foley_tpu.data.ldm_dataset import LDMDataConfig
+
+    tmp = tempfile.gettempdir() + "/diff_foley_bench_data"
+    spec_paths, feat_paths = _make_synthetic_ldm_data(tmp, 256)
+    # tile_channels=False: single-channel specs over the host→device link,
+    # ×3 tiling on device (the transfer is the fed loop's bottleneck)
+    ds = SpecFeatDataset(spec_paths, feat_paths,
+                         LDMDataConfig(tile_channels=False))
+    loader = PrefetchLoader(ds, batch_size, num_workers=8, prefetch=6)
+
+    # loader-only steady-state rate (pure host pipeline, no device work).
+    # Epoch 0 is a warmup: the first epoch inside a jax-active process runs
+    # ~8× slower (thread-pool/page-cache warmup) and is not steady state.
+    for b in loader.epoch(0):
+        pass
+    n_loader = 0
+    t0 = time.time()
+    for b in loader.epoch(9):
+        n_loader += b["spec"].shape[0]
+    loader_dt = time.time() - t0
+    extras["loader_samples_per_s"] = round(n_loader / loader_dt, 1)
+
+    rng = jax.random.PRNGKey(3)
+    warmup, timed_steps, n, i = 2, 0, 0, 0
+    t0 = None
+    last_metrics = None
+    for epoch in range(1, 8):  # 256/32 = 8 steps/epoch → ~54 total
+        for b in loader.epoch(epoch):
+            batch = {
+                "spec": jnp.asarray(b["spec"]),
+                "video_feat": jnp.asarray(b["video_feat"]),
+            }
+            state, last_metrics = step(state, vae_params, batch, rng)
+            i += 1
+            # interval readback (the trainer's log_every cadence): per-step
+            # loss readbacks would serialize H2D against compute
+            if i % 8 == 0:
+                _ = float(last_metrics["loss"])
+            if i == warmup:
+                _ = float(last_metrics["loss"])  # drain before the clock
+                t0 = time.time()
+            elif i > warmup:
+                timed_steps += 1
+                n += batch_size
+    if t0 is not None and timed_steps:
+        _ = float(last_metrics["loss"])  # force completion of the tail
+        dt = time.time() - t0
+        extras["fed_train_samples_per_s"] = round(n / dt, 2)
+        extras["fed_train_steps"] = timed_steps
+
 
 def main():
     import gc

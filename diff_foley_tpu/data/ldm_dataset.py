@@ -36,6 +36,10 @@ class LDMDataConfig:
     min_duration: int = 2
     mix_prob: float = 0.5
     fix_frames: bool = False
+    # False → emit single-channel (128, T) specs and let the train step tile
+    # ×3 on device: 3× fewer host→device bytes (the reference tiles on host,
+    # video_spec_dataset.py:184)
+    tile_channels: bool = True
 
 
 class SpecFeatDataset:
@@ -174,7 +178,9 @@ class SpecFeatDataset:
             spec, feat = self._concat(spec1, spec2, feat1, feat2, rng)
         else:
             spec, feat = self._single(spec1, feat1, rng)
+        if self.cfg.tile_channels:
+            spec = np.repeat(spec[:, :, None], 3, axis=2)  # (128, T, 3) NHWC
         return {
-            "spec": np.repeat(spec[:, :, None], 3, axis=2),  # (128, T, 3) NHWC
+            "spec": spec,
             "video_feat": feat,
         }

@@ -83,7 +83,13 @@ def make_train_step(
 
     def loss_fn(params, vae_params, batch, rng):
         k_enc, k_loss = jax.random.split(rng)
-        z = ldm.encode_first_stage(vae_params, batch["spec"], key=k_enc)
+        spec = batch["spec"]
+        if spec.ndim == 3:
+            # host sent single-channel mel (tile_channels=False): the ×3
+            # channel tiling (video_spec_dataset.py:184) happens on device,
+            # cutting host→HBM transfer bytes 3×
+            spec = jnp.repeat(spec[..., None], 3, axis=-1)
+        z = ldm.encode_first_stage(vae_params, spec, key=k_enc)
         z = jax.lax.stop_gradient(z)  # frozen first stage (ddpm.py:679)
         loss, metrics = ldm.p_losses(params, z, batch["video_feat"], k_loss)
         return loss, metrics

@@ -163,3 +163,62 @@ def test_prefetch_loader_bounded_with_slow_head(dataset):
     gate.set()
     batches = list(it)
     assert len(batches) == 32
+
+
+def test_untiled_spec_path_matches_host_tiled():
+    """tile_channels=False sends (128,T) specs; the train step tiles x3 on
+    device — must be numerically identical to the host-tiled batch (the
+    host→device transfer optimisation cannot change training)."""
+    import jax
+    import jax.numpy as jnp
+    from diff_foley_tpu.diffusion.latent_diffusion import (
+        LatentDiffusion, LDMConfig,
+    )
+    from diff_foley_tpu.models.unet import UNetConfig
+    from diff_foley_tpu.models.vae import VAEConfig
+    from diff_foley_tpu.train.stage2_ldm import (
+        Stage2TrainConfig, init_train_state, make_train_step,
+    )
+
+    cfg = LDMConfig(
+        unet=UNetConfig(model_channels=32, num_res_blocks=1,
+                        channel_mult=(1, 2), attention_resolutions=(2,),
+                        num_heads=4, context_dim=24),
+        vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1),
+        cond_embed_dim=24, cond_seq_len=8,
+    )
+    ldm = LatentDiffusion(cfg)
+    tcfg = Stage2TrainConfig(use_ema=False)
+    state = init_train_state(ldm, jax.random.PRNGKey(0), tcfg)
+    vae_params = ldm.init_vae_params(jax.random.PRNGKey(1))
+    rng = jax.random.PRNGKey(2)
+    spec1 = jax.random.uniform(jax.random.PRNGKey(3), (4, 32, 64))
+    feat = jax.random.normal(jax.random.PRNGKey(4), (4, 8, 512))
+    step = jax.jit(make_train_step(ldm, tcfg))
+
+    _, m3 = step(state, vae_params, {"spec": spec1, "video_feat": feat}, rng)
+    tiled = jnp.repeat(spec1[..., None], 3, axis=-1)
+    _, m4 = step(state, vae_params, {"spec": tiled, "video_feat": feat}, rng)
+    assert float(m3["loss"]) == float(m4["loss"])
+
+
+def test_dataset_tile_channels_flag():
+    import numpy as np
+    from diff_foley_tpu.data.ldm_dataset import LDMDataConfig, SpecFeatDataset
+
+    rng = np.random.default_rng(0)
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    sp, fp = [], []
+    for i in range(2):
+        s = os.path.join(d, f"{i}_mel.npy")
+        f = os.path.join(d, f"{i}.npz")
+        np.save(s, rng.uniform(size=(128, 625)).astype(np.float32))
+        np.savez(f, feat=rng.normal(size=(40, 512)).astype(np.float32))
+        sp.append(s); fp.append(f)
+    ds3 = SpecFeatDataset(sp, fp, LDMDataConfig(tile_channels=False))
+    ds4 = SpecFeatDataset(sp, fp, LDMDataConfig())
+    a, b = ds3[0], ds4[0]
+    assert a["spec"].ndim == 2 and b["spec"].ndim == 3
+    np.testing.assert_array_equal(np.repeat(a["spec"][:, :, None], 3, 2),
+                                  b["spec"])
