@@ -38,6 +38,10 @@ CLIPS = 16  # 8.192-s clips generated per timed run
 
 def build_pipeline(key):
     set_attention_backend("pallas")  # fused attention kernel
+    # GroupNorm stays on the XLA backend: the fused Pallas GN
+    # (ops/pallas_groupnorm.py) measured 0.94x on the flagship UNet —
+    # ~54 custom-call launches per forward cost more than the saved
+    # HBM pass (see PROFILE_r03.json "experiments").
     ldm = LatentDiffusion(
         LDMConfig(unet=dataclasses.replace(LDMConfig().unet, dtype="bfloat16"))
     )

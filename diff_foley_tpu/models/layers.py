@@ -19,28 +19,67 @@ def silu(x):
     return jax.nn.silu(x)
 
 
+class _NormParams(nn.Module):
+    """scale/bias leaves under the same child-scope names nn.GroupNorm
+    would create — lets the Pallas path share one checkpoint tree with the
+    XLA path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm computed in fp32 regardless of activation dtype.
 
     Mirrors reference GroupNorm32 (util.py:214-218): cast in, normalise,
     cast back. 32 groups, torch-default eps 1e-5 for UNet blocks; the
     VAE/attention `Normalize` uses eps 1e-6.
+
+    `act="silu"` folds the caller's activation into the norm so the fused
+    Pallas backend (ops.pallas_groupnorm, enabled via
+    set_groupnorm_backend("pallas")) runs stats→normalise→affine→SiLU in a
+    single HBM pass; under the default "xla" backend the math and bit
+    behaviour are exactly the historical GN-then-silu composition.
     """
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    act: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.pallas_groupnorm import (
+            fits_vmem,
+            fused_group_norm,
+            get_groupnorm_backend,
+        )
+
+        if get_groupnorm_backend() == "pallas" and fits_vmem(x.shape):
+            scale, bias = _NormParams(x.shape[-1], name="GroupNorm_0")()
+            return fused_group_norm(
+                x, scale, bias, self.num_groups, self.epsilon, self.act
+            )
         orig_dtype = x.dtype
-        x = x.astype(jnp.float32)
-        x = nn.GroupNorm(
+        h = x.astype(jnp.float32)
+        h = nn.GroupNorm(
             num_groups=self.num_groups,
             epsilon=self.epsilon,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
-        )(x)
-        return x.astype(orig_dtype)
+        )(h)
+        h = h.astype(orig_dtype)
+        if self.act == "silu":
+            h = silu(h)
+        return h
 
 
 def conv3x3(features: int, zero_init: bool = False, name: Optional[str] = None):
@@ -130,8 +169,7 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
-        h = GroupNorm32(name="in_norm")(x)
-        h = silu(h)
+        h = GroupNorm32(name="in_norm", act="silu")(x)
         if self.up:
             h = Upsample(h.shape[-1], use_conv=False)(h)
             x = Upsample(x.shape[-1], use_conv=False)(x)
@@ -164,8 +202,7 @@ class ResBlock(nn.Module):
                     self.pos_seq_len, self.out_channels, name="pos_emb"
                 )(jnp.arange(h.shape[2]))
                 h = h + pos[None, None, :, :].astype(h.dtype)
-            h = GroupNorm32(name="out_norm")(h)
-            h = silu(h)
+            h = GroupNorm32(name="out_norm", act="silu")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = conv3x3(self.out_channels, zero_init=True, name="out_conv")(h)
 

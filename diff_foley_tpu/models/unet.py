@@ -149,8 +149,7 @@ class UNetModel(nn.Module):
                     ds //= 2
         assert not hs
 
-        h = GroupNorm32(name="out_norm")(h)
-        h = silu(h)
+        h = GroupNorm32(name="out_norm", act="silu")(h)
         h = conv3x3(cfg.out_channels, zero_init=True, name="out_conv")(h)
         return h.astype(jnp.float32)
 
@@ -315,8 +314,7 @@ class ClassifierBackbone(nn.Module):
         h = attn(ch, "mid_attn")(h, context, deterministic)
         h = ResBlock(ch, cfg.dropout, name="mid_res2")(h, emb, deterministic)
 
-        h = GroupNorm32(name="out_norm")(h)
-        h = silu(h)
+        h = GroupNorm32(name="out_norm", act="silu")(h)
         h = conv3x3(ch // 2, zero_init=True, name="out_conv")(h)
         h = h.mean(axis=(1, 2))  # AdaptiveAvgPool2d((1,1))
         h = nn.Dense(cfg.out_channels, name="classifier")(h.astype(jnp.float32))
