@@ -82,7 +82,8 @@ def _gn_kernel(x_ref, g_ref, b_ref, o_ref, *, groups: int, eps: float,
     g12 = jax.lax.dot_general(             # (Bb, 2G) group sums [Σx | Σx²]
         s, m2, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+        precision=jax.lax.Precision.HIGHEST,  # fp32 stats: TPU DEFAULT
+    )                                         # truncates to bf16 passes
     mean_g = g12[:, :groups] / n           # (Bb, G)
     var_g = g12[:, groups:] / n - mean_g * mean_g
     inv_g = jax.lax.rsqrt(var_g + eps)
@@ -90,6 +91,7 @@ def _gn_kernel(x_ref, g_ref, b_ref, o_ref, *, groups: int, eps: float,
     per_c = jax.lax.dot_general(           # (Bb, 2C): [mean_c | inv_c]
         stats, m2, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     mean_c = per_c[:, :c].reshape(bb, 1, c)    # basic slices only: mixing
     inv_c = per_c[:, c:].reshape(bb, 1, c)     # None+slice lowers as gather
