@@ -66,6 +66,23 @@ def _build(dtype: str, backend: str, base_params, base_clf_params):
     return DiffFoleyPipeline(ldm, params, ldm_vae_params, (clf.apply, clf_params))
 
 
+def _denegerate(params, seed):
+    """Random init zero-inits every out-conv (reference zero_module
+    semantics), which makes the whole eps-prediction identically zero and
+    the bf16-vs-fp32 comparison vacuous. Fill all-zero float leaves with
+    small seeded noise so every layer actually participates."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    rng = np.random.default_rng(seed)
+    out = []
+    for leaf in leaves:
+        if (hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
+                and leaf.size and not np.any(np.asarray(leaf))):
+            leaf = jnp.asarray(
+                rng.normal(size=leaf.shape) * 0.05, leaf.dtype)
+        out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def main():
     global ldm_vae_params
     enable_compile_cache()
@@ -73,12 +90,12 @@ def main():
 
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     ldm0 = LatentDiffusion(LDMConfig())
-    base_params = jax.jit(ldm0.init_params)(k1)
-    ldm_vae_params = jax.jit(ldm0.init_vae_params)(k2)
+    base_params = _denegerate(jax.jit(ldm0.init_params)(k1), 10)
+    ldm_vae_params = _denegerate(jax.jit(ldm0.init_vae_params)(k2), 11)
     clf = ClassifierBackbone(CLASSIFIER_BACKBONE)
-    base_clf_params = jax.jit(lambda k: clf.init(
+    base_clf_params = _denegerate(jax.jit(lambda k: clf.init(
         k, jnp.zeros((1, 16, 64, 4)), jnp.zeros((1,)), jnp.zeros((1, 40, 512)),
-    ))(k3)
+    ))(k3), 12)
 
     rng = np.random.default_rng(0)
     feats = rng.normal(size=(WINDOWS * WINDOW_FEATS, 512)).astype(np.float32)
