@@ -40,6 +40,9 @@ class Stage2TrainConfig:
     weight_decay: float = 0.01      # torch AdamW default
     accum_steps: int = 1            # reference --accum-freq equivalent
     mu_dtype: Optional[str] = None  # "bfloat16" halves Adam first-moment HBM
+    compute_dtype: Optional[str] = None  # "bfloat16" = mixed precision:
+    # fp32 master params/grads/optimizer, bf16 forward+backward compute
+    # (params cast to bf16 inside the loss; norms stay fp32 via GroupNorm32)
 
 
 def make_optimizer(cfg: Stage2TrainConfig) -> optax.GradientTransformation:
@@ -81,6 +84,18 @@ def make_train_step(
     """
     tx = tx or make_optimizer(cfg)
 
+    mixed = cfg.compute_dtype == "bfloat16"
+    if mixed and ldm.cfg.unet.dtype != "bfloat16":
+        # flax Conv/Dense without an explicit dtype promote bf16 activations
+        # back up to the fp32 param dtype, so a bf16 compute path needs BOTH
+        # a bf16 model config and bf16-cast param leaves at apply time
+        ldm = LatentDiffusion(
+            dataclasses.replace(
+                ldm.cfg,
+                unet=dataclasses.replace(ldm.cfg.unet, dtype="bfloat16"),
+            )
+        )
+
     def loss_fn(params, vae_params, batch, rng):
         k_enc, k_loss = jax.random.split(rng)
         spec = batch["spec"]
@@ -89,6 +104,15 @@ def make_train_step(
             # channel tiling (video_spec_dataset.py:184) happens on device,
             # cutting host→HBM transfer bytes 3×
             spec = jnp.repeat(spec[..., None], 3, axis=-1)
+        if mixed:
+            from ..utils.precision import cast_floating
+
+            # bf16 compute against fp32 masters: the cast is differentiable,
+            # so grads land back on the fp32 leaves (loss itself is fp32 —
+            # the UNet returns fp32 and p_losses reduces in fp32)
+            params = cast_floating(params)
+            vae_params = cast_floating(vae_params)
+            spec = spec.astype(jnp.bfloat16)
         z = ldm.encode_first_stage(vae_params, spec, key=k_enc)
         z = jax.lax.stop_gradient(z)  # frozen first stage (ddpm.py:679)
         loss, metrics = ldm.p_losses(params, z, batch["video_feat"], k_loss)

@@ -103,3 +103,39 @@ def test_ema_steps_once_per_optimizer_update_under_accum():
         state, _ = step(state, vae_params, batch, rng)
         # one EMA update per completed K-step cycle
         assert int(state.ema.num_updates) == i // 3, (i, int(state.ema.num_updates))
+
+
+def test_train_step_mixed_precision_bf16_compute():
+    """compute_dtype="bfloat16": fp32 master params with bf16 forward+backward.
+
+    The TPU-native replacement for the reference's AMP fp16 + GradScaler
+    (main.py precision=16, SURVEY.md §2.8) — bf16 needs no loss scaling.
+    Checks: masters stay fp32, loss still decreases, and the step-0 loss
+    agrees with the fp32 trainer to bf16 tolerance.
+    """
+    ldm = LatentDiffusion(TINY)
+    cfg32 = Stage2TrainConfig(base_lr=2e-4, warmup_steps=1)
+    cfg16 = Stage2TrainConfig(base_lr=2e-4, warmup_steps=1,
+                              compute_dtype="bfloat16")
+    state = init_train_state(ldm, jax.random.PRNGKey(0), cfg16)
+    vae_params = ldm.init_vae_params(jax.random.PRNGKey(1))
+    batch = _batch(jax.random.PRNGKey(2))
+
+    step16 = jax.jit(make_train_step(ldm, cfg16))
+    step32 = jax.jit(make_train_step(ldm, cfg32))
+    _, m16 = step16(state, vae_params, batch, jax.random.PRNGKey(3))
+    _, m32 = step32(state, vae_params, batch, jax.random.PRNGKey(3))
+    # same ε-targets, bf16 rounding only: losses agree loosely
+    np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]),
+                               rtol=0.05)
+
+    losses = []
+    for i in range(8):
+        state, m = step16(state, vae_params, batch, jax.random.PRNGKey(3))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    # master params and optimizer state never leave fp32
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(state.params)
+               if jnp.issubdtype(l.dtype, jnp.floating))
