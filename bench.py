@@ -141,11 +141,13 @@ def bench_components(pipe, extras):
 
 
 def bench_train_step(extras):
-    """Flagship stage-2 training step (remat + bf16 Adam mu) — the
-    reference's dominant workload (launch.sh 8×220 batch). Batch 32 is the
-    single-chip throughput sweet spot on 16 GB v5e (measured: 55.9
-    samples/s @8, 74.2 @16, 83.3 @32; 64 OOMs at compile)."""
-    import dataclasses as dc
+    """Flagship stage-2 training step — the reference's dominant workload
+    (launch.sh 8×220 batch) — at the production operating point: bf16
+    mixed precision (fp32 masters, compute_dtype="bfloat16") with remat
+    OFF. bf16 halves activation memory, so batch 32 fits without
+    checkpointing. Sweep (real v5e, samples/s): fp32+remat 83.3@32;
+    bf16+remat 98.4@32, 103.6@48, 103.2@64; bf16 no-remat 105.0@32
+    (48 OOMs). Winner: bf16 no-remat @32."""
 
     from diff_foley_tpu.train.stage2_ldm import (
         Stage2TrainConfig,
@@ -154,11 +156,8 @@ def bench_train_step(extras):
     )
 
     batch_size = 32
-    cfg = LDMConfig(
-        unet=dc.replace(LDMConfig().unet, use_checkpoint=True)
-    )
-    ldm = LatentDiffusion(cfg)
-    tcfg = Stage2TrainConfig(mu_dtype="bfloat16")
+    ldm = LatentDiffusion(LDMConfig())
+    tcfg = Stage2TrainConfig(mu_dtype="bfloat16", compute_dtype="bfloat16")
     state = jax.jit(lambda k: init_train_state(ldm, k, tcfg))(
         jax.random.PRNGKey(0)
     )

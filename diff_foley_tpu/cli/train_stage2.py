@@ -32,6 +32,10 @@ def parse_args(argv=None):
     p.add_argument("--warmup-steps", type=int, default=1000)
     p.add_argument("--max-steps", type=int, default=100000)
     p.add_argument("--accum-steps", type=int, default=1)
+    p.add_argument("--mixed-precision", action="store_true",
+                   help="bf16 forward/backward against fp32 master params "
+                        "(the TPU analogue of the reference's AMP fp16, "
+                        "main.py precision=16; no loss scaling needed)")
     p.add_argument("--use-ema", action="store_true")
     p.add_argument("--save-every", type=int, default=2000)
     p.add_argument("--log-every", type=int, default=50)
@@ -100,6 +104,7 @@ def main(argv=None):
     tcfg = Stage2TrainConfig(
         base_lr=args.base_lr, warmup_steps=args.warmup_steps,
         use_ema=args.use_ema, accum_steps=args.accum_steps,
+        compute_dtype="bfloat16" if args.mixed_precision else None,
     )
     dcfg = LDMDataConfig(
         duration=args.data_duration, truncate=args.data_truncate

@@ -44,7 +44,7 @@ def test_train_cli_fsdp_resume_soundlog(data_dir, tmp_path):
         "--data-duration", "2.0", "--data-truncate", "16384",
         "--log-every", "1", "--save-every", "3",
         "--val-every", "2", "--val-batches", "1",
-        "--sound-log-every", "3", "--use-ema",
+        "--sound-log-every", "3", "--use-ema", "--mixed-precision",
     ]
     main(common + ["--max-steps", "3"])
 
