@@ -250,16 +250,17 @@ def bench_fed_train(extras, ldm, tcfg, step, state, vae_params, batch_size):
     loader_dt = time.time() - t0
     extras["loader_samples_per_s"] = round(n_loader / loader_dt, 1)
 
+    from diff_foley_tpu.data.loader import DevicePrefetcher
+
     rng = jax.random.PRNGKey(3)
     warmup, timed_steps, n, i = 2, 0, 0, 0
     t0 = None
     last_metrics = None
+    cast = "bfloat16" if tcfg.compute_dtype == "bfloat16" else None
     for epoch in range(1, 8):  # 256/32 = 8 steps/epoch → ~54 total
-        for b in loader.epoch(epoch):
-            batch = {
-                "spec": jnp.asarray(b["spec"]),
-                "video_feat": jnp.asarray(b["video_feat"]),
-            }
+        # host-side bf16 cast halves relay bytes; the background feeder
+        # overlaps the H2D transfer of batch k+1 with the step on batch k
+        for batch in DevicePrefetcher(loader.epoch(epoch), cast_dtype=cast):
             state, last_metrics = step(state, vae_params, batch, rng)
             i += 1
             # interval readback (the trainer's log_every cadence): per-step

@@ -180,15 +180,24 @@ def main(argv=None):
     watch = Stopwatch()
     step = int(state.step)
     epoch = 0
+    from ..data.loader import DevicePrefetcher
+
     with mesh:
         while step < args.max_steps:
-            for batch in loader.epoch(epoch):
-                batch = {
-                    "spec": jax.device_put(batch["spec"], dsh),
-                    "video_feat": jax.device_put(batch["video_feat"], dsh),
-                }
+            # stage batch k+1 onto the device while the step runs on batch k;
+            # under mixed precision the fp32→bf16 cast happens host-side so
+            # half the bytes cross the link (numerically identical — the
+            # trainer casts inputs to the compute dtype anyway)
+            staged = DevicePrefetcher(
+                loader.epoch(epoch), sharding=dsh,
+                cast_dtype="bfloat16" if args.mixed_precision else None,
+            )
+            for batch in staged:
                 state, metrics = step_fn(state, vae_params, batch, rng)
-                step = int(state.step)
+                # host-side step counter: reading int(state.step) here would
+                # force a device readback every step and serialize dispatch
+                # against the relay round trip
+                step += 1
                 if step % args.log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     m["sec_per_step"] = watch.lap() / args.log_every

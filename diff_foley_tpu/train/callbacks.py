@@ -52,8 +52,11 @@ class SoundLogger:
 
     def log(self, step: int, params, batch: Dict, key) -> str:
         n = min(self.n, batch["spec"].shape[0])
-        spec_gt = jnp.asarray(batch["spec"][:n])          # (n,128,T,3)
-        feat = jnp.asarray(batch["video_feat"][:n])
+        # fp32 regardless of the training batch dtype: mixed-precision
+        # staging delivers bf16 batches, but logged audio/spec artifacts
+        # must stay plain-numpy-readable fp32
+        spec_gt = jnp.asarray(batch["spec"][:n], dtype=jnp.float32)
+        feat = jnp.asarray(batch["video_feat"][:n], dtype=jnp.float32)
         k1, k2, k3 = jax.random.split(key, 3)
 
         # ground truth, reconstruction, sample — like log_sound (ddpm.py:1362)

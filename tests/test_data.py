@@ -222,3 +222,58 @@ def test_dataset_tile_channels_flag():
     assert a["spec"].ndim == 2 and b["spec"].ndim == 3
     np.testing.assert_array_equal(np.repeat(a["spec"][:, :, None], 3, 2),
                                   b["spec"])
+
+
+def test_device_prefetcher_stages_and_casts(dataset):
+    """DevicePrefetcher: batches land on device in order, fp32 leaves cast
+    to the requested dtype host-side, non-fp32 leaves untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_foley_tpu.data.loader import DevicePrefetcher, PrefetchLoader
+
+    loader = PrefetchLoader(dataset, batch_size=2, num_workers=2)
+    plain = list(loader.epoch(0))
+    staged = list(DevicePrefetcher(loader.epoch(0), cast_dtype="bfloat16"))
+    assert len(staged) == len(plain) > 0
+    for ref, got in zip(plain, staged):
+        for k in ref:
+            assert isinstance(got[k], jax.Array), type(got[k])
+            if ref[k].dtype == np.float32:
+                assert got[k].dtype == jnp.bfloat16
+                np.testing.assert_allclose(
+                    np.asarray(got[k], dtype=np.float32), ref[k],
+                    rtol=8e-3, atol=8e-3,
+                )
+            else:
+                assert got[k].dtype == ref[k].dtype
+
+
+def test_device_prefetcher_propagates_worker_errors():
+    from diff_foley_tpu.data.loader import DevicePrefetcher
+
+    def bad():
+        yield {"x": np.zeros(2, np.float32)}
+        raise ValueError("boom")
+
+    it = iter(DevicePrefetcher(bad()))
+    next(it)
+    with pytest.raises(RuntimeError, match="device prefetch failed"):
+        next(it)
+
+
+def test_device_prefetcher_early_abandon_joins_feeder(dataset):
+    import threading
+    import time
+
+    from diff_foley_tpu.data.loader import DevicePrefetcher, PrefetchLoader
+
+    before = threading.active_count()
+    loader = PrefetchLoader(dataset, batch_size=2, num_workers=2)
+    for _ in range(3):
+        for _b in DevicePrefetcher(loader.epoch(0), depth=1):
+            break  # abandon with the feeder mid-stage
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before + 1
