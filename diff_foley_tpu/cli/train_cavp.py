@@ -72,6 +72,11 @@ def parse_args(argv=None):
     p.add_argument("--save-every-epochs", type=int, default=3)
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mixed-precision", action="store_true",
+                   help="bf16 tower compute against fp32 masters (the "
+                        "reference's open_clip --precision amp; no loss "
+                        "scaling needed on TPU). Shipped towers only "
+                        "(slowonly x cnn14/cnn10)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--native-loader", action="store_true",
                    help="use the C++ shard reader")
@@ -143,6 +148,7 @@ def main(argv=None):
     tcfg = Stage1TrainConfig(
         lr=args.lr, warmup_steps=args.warmup, clip_num=args.clip_num,
         intra_weight=args.intra_weight, accum_freq=args.accum_freq,
+        compute_dtype="bfloat16" if args.mixed_precision else None,
     )
     state = init_train_state(
         model, jax.random.PRNGKey(args.seed), tcfg,

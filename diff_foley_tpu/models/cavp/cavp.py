@@ -40,6 +40,9 @@ class CAVPConfig:
     video_arch: str = "slowonly"
     spec_arch: str = "cnn14"
     axis_name: Optional[str] = None  # set to "data" for SyncBN-style stats
+    dtype: Optional[str] = None  # compute dtype ("bfloat16" for mixed
+    # precision); supported on the shipped towers (slowonly/cnn14/cnn10),
+    # the alt parity towers stay fp32
 
 
 def _max_pool_time(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -58,9 +61,21 @@ class CAVPModel(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        if cfg.dtype and not (
+            cfg.video_arch in ("slowonly",)
+            and cfg.spec_arch in ("cnn14", "cnn10")
+        ):
+            raise ValueError(
+                f"dtype={cfg.dtype!r} is only supported for the shipped "
+                f"towers (slowonly × cnn14/cnn10), got "
+                f"({cfg.video_arch!r}, {cfg.spec_arch!r})"
+            )
+        dt = jnp.dtype(cfg.dtype) if cfg.dtype else None
         if cfg.video_arch == "slowonly":
-            self.video_encoder = ResNet3dSlowOnly(axis_name=cfg.axis_name)
-            self.video_project_head = nn.Dense(cfg.embed_dim)
+            self.video_encoder = ResNet3dSlowOnly(
+                axis_name=cfg.axis_name, dtype=cfg.dtype
+            )
+            self.video_project_head = nn.Dense(cfg.embed_dim, dtype=dt)
         elif cfg.video_arch == "x3d":
             from .x3d import X3D, X3DConfig
 
@@ -91,14 +106,16 @@ class CAVPModel(nn.Module):
 
         if cfg.spec_arch == "cnn14":
             self.spec_encoder = Cnn14(
-                embed_dim=cfg.embed_dim, axis_name=cfg.axis_name
+                embed_dim=cfg.embed_dim, axis_name=cfg.axis_name,
+                dtype=cfg.dtype,
             )
         elif cfg.spec_arch == "cnn10":
             from .cnn14 import Cnn10
 
             # factory: Cnn10(embed_dim=2048) + Linear(2048→embed)
-            self.spec_encoder = Cnn10(embed_dim=2048, axis_name=cfg.axis_name)
-            self.spec_project_head = nn.Dense(cfg.embed_dim)
+            self.spec_encoder = Cnn10(embed_dim=2048, axis_name=cfg.axis_name,
+                                      dtype=cfg.dtype)
+            self.spec_project_head = nn.Dense(cfg.embed_dim, dtype=dt)
         elif cfg.spec_arch == "resnet50":
             from .spec_towers import SpecResNet50
 

@@ -23,17 +23,20 @@ import jax.numpy as jnp
 class ConvBlock(nn.Module):
     out_channels: int
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None  # compute dtype (BN stats stay fp32)
 
     @nn.compact
     def __call__(self, x, pool_size=(2, 2), train: bool = False):
+        dt = jnp.dtype(self.dtype) if self.dtype else None
         for i in (1, 2):
             x = nn.Conv(
                 self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                use_bias=False, name=f"conv{i}",
+                use_bias=False, dtype=dt, name=f"conv{i}",
             )(x)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                axis_name=self.axis_name if train else None, name=f"bn{i}",
+                axis_name=self.axis_name if train else None, dtype=dt,
+                name=f"bn{i}",
             )(x)
             x = nn.relu(x)
         return nn.avg_pool(x, pool_size, strides=pool_size)
@@ -43,23 +46,28 @@ class Cnn14(nn.Module):
     embed_dim: int = 512
     dropout: float = 0.2
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, deterministic: Optional[bool] = None):
         deterministic = not train if deterministic is None else deterministic
+        dt = jnp.dtype(self.dtype) if self.dtype else None
+        if dt is not None:
+            x = x.astype(dt)
         # bn0 over mel bins: (B,T,M,1) → (B,T,1,M) → BN(feature=M) → back
         b, t, m, _ = x.shape
         h = x.transpose(0, 1, 3, 2)
         h = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            axis_name=self.axis_name if train else None, name="bn0",
+            axis_name=self.axis_name if train else None, dtype=dt, name="bn0",
         )(h)
         h = h.transpose(0, 1, 3, 2)
 
         pools = [(2, 2), (2, 2), (2, 2), (2, 2), (1, 2), (1, 1)]
         chans = [64, 128, 256, 512, 1024, 2048]
         for i, (c, p) in enumerate(zip(chans, pools), start=1):
-            h = ConvBlock(c, self.axis_name, name=f"conv_block{i}")(h, p, train)
+            h = ConvBlock(c, self.axis_name, self.dtype,
+                          name=f"conv_block{i}")(h, p, train)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
 
         h = h.mean(axis=2)  # mean over mel axis → (B, T', 2048)
@@ -72,10 +80,10 @@ class Cnn14(nn.Module):
         av = (hp[:, :-2] + hp[:, 1:-1] + hp[:, 2:]) / 3.0
         h = mx + av
 
-        fc1 = nn.Dense(2048, name="fc1")
+        fc1 = nn.Dense(2048, dtype=dt, name="fc1")
         h = nn.relu(fc1(h))
         h = nn.relu(fc1(h))  # double application — reference quirk (see doc)
-        return nn.Dense(self.embed_dim, name="final_project")(h)
+        return nn.Dense(self.embed_dim, dtype=dt, name="final_project")(h)
 
 
 class Cnn10(nn.Module):
@@ -87,22 +95,27 @@ class Cnn10(nn.Module):
     embed_dim: int = 2048
     dropout: float = 0.2
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False,
                  deterministic: Optional[bool] = None):
         deterministic = not train if deterministic is None else deterministic
+        dt = jnp.dtype(self.dtype) if self.dtype else None
+        if dt is not None:
+            x = x.astype(dt)
         h = x.transpose(0, 1, 3, 2)
         h = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            axis_name=self.axis_name if train else None, name="bn0",
+            axis_name=self.axis_name if train else None, dtype=dt, name="bn0",
         )(h)
         h = h.transpose(0, 1, 3, 2)
 
         pools = [(2, 2), (2, 2), (2, 2), (2, 2), (1, 2)]
         chans = [64, 128, 256, 512, 1024]
         for i, (c, p) in enumerate(zip(chans, pools), start=1):
-            h = ConvBlock(c, self.axis_name, name=f"conv_block{i}")(h, p, train)
+            h = ConvBlock(c, self.axis_name, self.dtype,
+                          name=f"conv_block{i}")(h, p, train)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
 
         h = h.mean(axis=2)  # (B, T/16, 1024)
@@ -112,7 +125,7 @@ class Cnn10(nn.Module):
         av = (hp[:, :-2] + hp[:, 1:-1] + hp[:, 2:]) / 3.0
         h = mx + av
 
-        fc1 = nn.Dense(1024, name="fc1")
+        fc1 = nn.Dense(1024, dtype=dt, name="fc1")
         h = nn.relu(fc1(h))
         h = nn.relu(fc1(h))  # double application — reference quirk
-        return nn.Dense(self.embed_dim, name="final_project")(h)
+        return nn.Dense(self.embed_dim, dtype=dt, name="final_project")(h)

@@ -23,7 +23,10 @@ import jax.numpy as jnp
 
 
 class ConvBN(nn.Module):
-    """Conv3d + BN3d + optional ReLU (mmcv ConvModule equivalent)."""
+    """Conv3d + BN3d + optional ReLU (mmcv ConvModule equivalent).
+
+    `dtype` is the compute dtype (mixed precision: bf16 activations, BN
+    statistics stay fp32 inside flax regardless)."""
 
     features: int
     kernel: Tuple[int, int, int]
@@ -31,17 +34,19 @@ class ConvBN(nn.Module):
     padding: Tuple[int, int, int] = (0, 0, 0)
     act: bool = True
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = jnp.dtype(self.dtype) if self.dtype else None
         x = nn.Conv(
             self.features, self.kernel, strides=self.stride,
             padding=tuple((p, p) for p in self.padding), use_bias=False,
-            name="conv",
+            dtype=dt, name="conv",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            axis_name=self.axis_name if train else None, name="bn",
+            axis_name=self.axis_name if train else None, dtype=dt, name="bn",
         )(x)
         return nn.relu(x) if self.act else x
 
@@ -52,6 +57,7 @@ class Bottleneck3d(nn.Module):
     inflate: bool = False
     has_downsample: bool = False
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -61,14 +67,17 @@ class Bottleneck3d(nn.Module):
             k1, p1 = (1, 1, 1), (0, 0, 0)
         s = self.spatial_stride
         out = ConvBN(self.planes, k1, (1, 1, 1), p1, axis_name=self.axis_name,
-                     name="conv1")(x, train)
+                     dtype=self.dtype, name="conv1")(x, train)
         out = ConvBN(self.planes, (1, 3, 3), (1, s, s), (0, 1, 1),
-                     axis_name=self.axis_name, name="conv2")(out, train)
+                     axis_name=self.axis_name, dtype=self.dtype,
+                     name="conv2")(out, train)
         out = ConvBN(self.planes * 4, (1, 1, 1), act=False,
-                     axis_name=self.axis_name, name="conv3")(out, train)
+                     axis_name=self.axis_name, dtype=self.dtype,
+                     name="conv3")(out, train)
         if self.has_downsample:
             x = ConvBN(self.planes * 4, (1, 1, 1), (1, s, s), act=False,
-                       axis_name=self.axis_name, name="downsample")(x, train)
+                       axis_name=self.axis_name, dtype=self.dtype,
+                       name="downsample")(x, train)
         return nn.relu(out + x)
 
 
@@ -78,12 +87,16 @@ class ResNet3dSlowOnly(nn.Module):
     spatial_strides: Sequence[int] = (1, 2, 2, 2)
     inflate: Sequence[int] = (0, 0, 1, 1)
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """(B, T, H, W, 3) → (B, T, 2048) per-frame features."""
+        if self.dtype:
+            x = x.astype(jnp.dtype(self.dtype))
         h = ConvBN(self.base_channels, (1, 7, 7), (1, 2, 2), (0, 3, 3),
-                   axis_name=self.axis_name, name="conv1")(x, train)
+                   axis_name=self.axis_name, dtype=self.dtype,
+                   name="conv1")(x, train)
         h = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)),
                     constant_values=-jnp.inf)
         h = nn.max_pool(h, (1, 3, 3), strides=(1, 2, 2), padding="VALID")
@@ -99,6 +112,7 @@ class ResNet3dSlowOnly(nn.Module):
                     inflate=bool(infl),
                     has_downsample=(b == 0),
                     axis_name=self.axis_name,
+                    dtype=self.dtype,
                     name=f"layer{stage}_{b}",
                 )(h, train)
 

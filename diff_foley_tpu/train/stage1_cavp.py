@@ -53,6 +53,10 @@ class Stage1TrainConfig:
     grad_clip: Optional[float] = None
     accum_freq: int = 1  # >1 → feature-cache accumulation (see
     #                      make_accum_train_step; reference --accum-freq)
+    compute_dtype: Optional[str] = None  # "bfloat16": fp32 masters, bf16
+    # tower compute (the reference's open_clip --precision amp, without the
+    # GradScaler bf16 doesn't need); the contrastive loss itself and
+    # logit_scale stay fp32
 
 
 def _decay_mask(params):
@@ -102,6 +106,33 @@ def init_train_state(
     )
 
 
+def _maybe_mixed_model(model: CAVPModel, cfg: Stage1TrainConfig) -> CAVPModel:
+    """Rebuild the model with bf16 compute dtype under mixed precision
+    (flax layers without an explicit dtype would promote bf16 activations
+    back up to the fp32 param dtype)."""
+    if cfg.compute_dtype == "bfloat16" and model.cfg.dtype != "bfloat16":
+        model = CAVPModel(
+            dataclasses.replace(model.cfg, dtype="bfloat16")
+        )
+    return model
+
+
+def _cast_mixed(params, video, spec):
+    """bf16-cast params and inputs inside the loss: differentiable, so
+    gradients land on the fp32 masters. logit_scale stays fp32 (its exp and
+    post-step clamp run in the loss/trainer, not the towers)."""
+    from ..utils.precision import cast_floating
+
+    logit_scale = params["logit_scale"]
+    params = dict(cast_floating(params))
+    params["logit_scale"] = logit_scale
+    return (
+        params,
+        video.astype(jnp.bfloat16),
+        spec.astype(jnp.bfloat16),
+    )
+
+
 def make_train_step(model: CAVPModel, cfg: Stage1TrainConfig,
                     tx: Optional[optax.GradientTransformation] = None):
     """step(state, batch, rng) → (state, metrics).
@@ -111,18 +142,26 @@ def make_train_step(model: CAVPModel, cfg: Stage1TrainConfig,
     reference train loop (:95-99).
     """
     tx = tx or make_optimizer(cfg)
+    model = _maybe_mixed_model(model, cfg)
+    mixed = cfg.compute_dtype == "bfloat16"
 
     def loss_fn(params, batch_stats, batch, rng):
         video = batch["video"].reshape(-1, *batch["video"].shape[2:])
         spec = batch["spec"].reshape(-1, *batch["spec"].shape[2:])
+        if mixed:
+            params, video, spec = _cast_mixed(params, video, spec)
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             video, spec, train=True,
             mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
+        # the contrastive loss runs fp32 regardless (the logits matmul is
+        # (B,512)² — negligible FLOPs, and the softmax wants the precision)
         losses = intra_contrast_loss(
-            out["video_features"], out["spec_features"], out["logit_scale"],
+            out["video_features"].astype(jnp.float32),
+            out["spec_features"].astype(jnp.float32),
+            out["logit_scale"],
             clip_num=cfg.clip_num, intra_weight=cfg.intra_weight,
         )
         return losses["total_loss"], (losses, mutated["batch_stats"])
@@ -173,20 +212,31 @@ def make_accum_train_step(model: CAVPModel, cfg: Stage1TrainConfig,
     micro-losses only sees its own negatives.
     """
     tx = tx or make_optimizer(cfg)
+    model = _maybe_mixed_model(model, cfg)
+    mixed = cfg.compute_dtype == "bfloat16"
     K = accum_freq
 
     def _flat(mb):
         return mb.reshape(-1, *mb.shape[2:])
 
     def _encode(params, stats, video, spec, rng):
+        if mixed:
+            params, video, spec = _cast_mixed(params, video, spec)
         variables = {"params": params, "batch_stats": stats}
         if train:
             out, mutated = model.apply(
                 variables, video, spec, train=True,
                 mutable=["batch_stats"], rngs={"dropout": rng},
             )
-            return out, mutated["batch_stats"]
-        return model.apply(variables, video, spec, train=False), stats
+        else:
+            out = model.apply(variables, video, spec, train=False)
+            mutated = {"batch_stats": stats}
+        # fp32 features: the cached/live splice and the contrastive loss
+        # run fp32 under mixed precision
+        out = dict(out)
+        out["video_features"] = out["video_features"].astype(jnp.float32)
+        out["spec_features"] = out["spec_features"].astype(jnp.float32)
+        return out, mutated["batch_stats"]
 
     def step(state: CAVPTrainState, batches, rng):
         rng = jax.random.fold_in(rng, state.step)

@@ -110,3 +110,20 @@ def test_cli_micro_batch_stacking():
     # micro-batch j holds consecutive samples (order preserved)
     np.testing.assert_array_equal(micro[0, 0], samples[0])
     np.testing.assert_array_equal(micro[1, 0], samples[3])
+
+
+def test_accum_mixed_precision_runs_and_agrees():
+    """compute_dtype="bfloat16" composes with the feature-cache accumulation:
+    caches/loss run fp32 over bf16 tower outputs, masters stay fp32, and the
+    loss agrees with the fp32 accum step to bf16 tolerance."""
+    model, cfg, state, batches = _setup()
+    cfg16 = Stage1TrainConfig(clip_num=CLIP, intra_weight=1.0,
+                              compute_dtype="bfloat16")
+    step32 = jax.jit(make_accum_train_step(model, cfg, K, train=False))
+    step16 = jax.jit(make_accum_train_step(model, cfg16, K, train=False))
+    _, m32 = step32(state, batches, jax.random.PRNGKey(1))
+    s16, m16 = step16(state, batches, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m16["total_loss"]),
+                               float(m32["total_loss"]), rtol=0.05)
+    for leaf in jax.tree_util.tree_leaves(s16.params):
+        assert leaf.dtype == jnp.float32, leaf.dtype

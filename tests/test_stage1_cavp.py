@@ -143,3 +143,57 @@ def test_forward_temporal_pairs():
         out["logit_scale"],
     )
     assert np.isfinite(float(losses["total_loss"]))
+
+
+@pytest.mark.slow
+def test_cavp_train_step_mixed_precision_bf16():
+    """compute_dtype="bfloat16": bf16 tower compute against fp32 masters —
+    the TPU replacement for open_clip's --precision amp (SURVEY.md §2.8).
+    Masters and BN running stats stay fp32, logit_scale stays fp32, and the
+    step-0 loss agrees with the fp32 trainer to bf16 tolerance."""
+    model = CAVPModel(CAVPConfig(embed_dim=32))
+    cfg32 = Stage1TrainConfig(lr=1e-3, warmup_steps=1, total_steps=100,
+                              clip_num=2)
+    cfg16 = Stage1TrainConfig(lr=1e-3, warmup_steps=1, total_steps=100,
+                              clip_num=2, compute_dtype="bfloat16")
+    state = init_train_state(
+        model, jax.random.PRNGKey(0), cfg16,
+        video_shape=(1, 16, 16, 16, 3), spec_shape=(1, 128, 256),
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "video": jnp.asarray(rng.normal(size=(2, 2, 16, 16, 16, 3)),
+                             jnp.float32),
+        "spec": jnp.asarray(rng.normal(size=(2, 2, 128, 256)), jnp.float32),
+    }
+    step16 = jax.jit(make_train_step(model, cfg16))
+    step32 = jax.jit(make_train_step(model, cfg32))
+    _, m16 = step16(state, batch, jax.random.PRNGKey(1))
+    _, m32 = step32(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m16["total_loss"]),
+                               float(m32["total_loss"]), rtol=0.05)
+
+    losses = []
+    for i in range(3):
+        state, m = step16(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(m["total_loss"]))
+    assert np.isfinite(losses).all()
+    # masters, BN stats, logit_scale: all fp32
+    for leaf in jax.tree.leaves(state.params) + jax.tree.leaves(
+        state.batch_stats
+    ):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32, leaf.dtype
+    assert state.params["logit_scale"].dtype == jnp.float32
+
+
+def test_cavp_mixed_precision_rejects_alt_towers():
+    import flax
+
+    model = CAVPModel(CAVPConfig(embed_dim=32, video_arch="x3d",
+                                 dtype="bfloat16"))
+    with pytest.raises((ValueError, flax.errors.FlaxError),
+                       match="only supported"):
+        model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 16, 16, 16, 3)), jnp.zeros((1, 128, 256)),
+                   train=False)
