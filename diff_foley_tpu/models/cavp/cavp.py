@@ -43,6 +43,12 @@ class CAVPConfig:
     dtype: Optional[str] = None  # compute dtype ("bfloat16" for mixed
     # precision); supported on the shipped towers (slowonly/cnn14/cnn10),
     # the alt parity towers stay fp32
+    # smoke-config overrides (None = the shipped R50/CNN14 geometry); the
+    # stage-2 trainer's --tiny equivalent for CI and the multichip dryrun,
+    # where full towers are too slow on emulated CPU meshes
+    video_stage_blocks: Optional[tuple] = None   # slowonly only
+    video_base_channels: Optional[int] = None    # slowonly only
+    spec_channels: Optional[tuple] = None        # cnn14/cnn10 only
 
 
 def _max_pool_time(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -72,8 +78,13 @@ class CAVPModel(nn.Module):
             )
         dt = jnp.dtype(cfg.dtype) if cfg.dtype else None
         if cfg.video_arch == "slowonly":
+            kw = {}
+            if cfg.video_stage_blocks is not None:
+                kw["stage_blocks"] = tuple(cfg.video_stage_blocks)
+            if cfg.video_base_channels is not None:
+                kw["base_channels"] = cfg.video_base_channels
             self.video_encoder = ResNet3dSlowOnly(
-                axis_name=cfg.axis_name, dtype=cfg.dtype
+                axis_name=cfg.axis_name, dtype=cfg.dtype, **kw
             )
             self.video_project_head = nn.Dense(cfg.embed_dim, dtype=dt)
         elif cfg.video_arch == "x3d":
@@ -107,7 +118,7 @@ class CAVPModel(nn.Module):
         if cfg.spec_arch == "cnn14":
             self.spec_encoder = Cnn14(
                 embed_dim=cfg.embed_dim, axis_name=cfg.axis_name,
-                dtype=cfg.dtype,
+                dtype=cfg.dtype, channels=cfg.spec_channels,
             )
         elif cfg.spec_arch == "cnn10":
             from .cnn14 import Cnn10

@@ -47,6 +47,7 @@ class Cnn14(nn.Module):
     dropout: float = 0.2
     axis_name: Optional[str] = None
     dtype: Optional[str] = None
+    channels: Optional[tuple] = None  # smoke-config override (6 entries)
 
     @nn.compact
     def __call__(self, x, train: bool = False, deterministic: Optional[bool] = None):
@@ -64,7 +65,9 @@ class Cnn14(nn.Module):
         h = h.transpose(0, 1, 3, 2)
 
         pools = [(2, 2), (2, 2), (2, 2), (2, 2), (1, 2), (1, 1)]
-        chans = [64, 128, 256, 512, 1024, 2048]
+        chans = list(self.channels) if self.channels else \
+            [64, 128, 256, 512, 1024, 2048]
+        assert len(chans) == 6, chans
         for i, (c, p) in enumerate(zip(chans, pools), start=1):
             h = ConvBlock(c, self.axis_name, self.dtype,
                           name=f"conv_block{i}")(h, p, train)
@@ -80,7 +83,9 @@ class Cnn14(nn.Module):
         av = (hp[:, :-2] + hp[:, 1:-1] + hp[:, 2:]) / 3.0
         h = mx + av
 
-        fc1 = nn.Dense(2048, dtype=dt, name="fc1")
+        # width = chans[-1] so the double application type-checks (2048 at
+        # the shipped geometry)
+        fc1 = nn.Dense(chans[-1], dtype=dt, name="fc1")
         h = nn.relu(fc1(h))
         h = nn.relu(fc1(h))  # double application — reference quirk (see doc)
         return nn.Dense(self.embed_dim, dtype=dt, name="final_project")(h)
