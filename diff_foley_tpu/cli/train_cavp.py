@@ -85,6 +85,8 @@ def parse_args(argv=None):
     p.add_argument("--val-frequency", type=int, default=2,
                    help="run retrieval eval every N epochs")
     p.add_argument("--val-samples", type=int, default=64)
+    p.add_argument("--tiny", action="store_true",
+                   help="smoke-geometry towers for CI/smoke runs")
     return p.parse_args(argv)
 
 
@@ -140,10 +142,15 @@ def main(argv=None):
     print(f"{len(shards)} shards")
     scfg = CAVPShardConfig(clip_num=args.clip_num, shift_lb=args.shift_lb)
 
+    tiny_kw = dict(
+        video_stage_blocks=(1, 1, 1, 1), video_base_channels=16,
+        spec_channels=(8, 8, 8, 8, 8, 8),
+    ) if args.tiny else {}
     model = CAVPModel(CAVPConfig(
         embed_dim=args.embed_dim,
         video_arch=args.video_encode,
         spec_arch=args.spec_encode,
+        **tiny_kw,
     ))
     tcfg = Stage1TrainConfig(
         lr=args.lr, warmup_steps=args.warmup, clip_num=args.clip_num,
@@ -152,12 +159,15 @@ def main(argv=None):
     )
     state = init_train_state(
         model, jax.random.PRNGKey(args.seed), tcfg,
-        video_shape=(1, 16, 224, 224, 3), spec_shape=(1, 128, 256),
+        video_shape=(1, 16, 16, 16, 3) if args.tiny
+        else (1, 16, 224, 224, 3),
+        spec_shape=(1, 128, 256),
     )
     mgr = CheckpointManager(os.path.join(args.logdir, "ckpt"))
     if args.resume and mgr.latest_step() is not None:
         state = mgr.restore(state)
         print(f"resumed from step {int(state.step)}")
+    step = int(state.step)
 
     mesh = make_mesh()
     repl, dsh = NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
@@ -207,7 +217,9 @@ def main(argv=None):
                     buf = {"video": [], "spec": []}
                     state, metrics = step_fn(state, batch, rng)
                     n_steps += 1
-                    step = int(state.step)
+                    # host-side counter: int(state.step) here would force a
+                    # per-step device readback that serializes dispatch
+                    step += 1
                     if step % args.log_every == 0:
                         m = {k: float(v) for k, v in metrics.items()}
                         m["sec_per_step"] = watch.lap() / args.log_every

@@ -82,7 +82,9 @@ def decode_sample(
     strip = cv2.imdecode(
         np.frombuffer(video_jpg, np.uint8), cv2.IMREAD_COLOR
     )[:, :, ::-1]  # BGR→RGB
-    h = cfg.frame_size
+    # frames are square with side = strip height (the shard format); infer
+    # rather than trusting cfg.frame_size so smoke-size shards decode too
+    h = strip.shape[0]
     frames = strip.reshape(h, -1, h, 3).transpose(1, 0, 2, 3)  # (T, H, W, 3)
 
     starts = sample_temporal_index(rng, cfg)
