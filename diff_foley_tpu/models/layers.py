@@ -58,12 +58,14 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x):
         from ..ops.pallas_groupnorm import (
-            fits_vmem,
             fused_group_norm,
             get_groupnorm_backend,
         )
 
-        if get_groupnorm_backend() == "pallas" and fits_vmem(x.shape):
+        if get_groupnorm_backend() != "xla":
+            # fused_group_norm picks the per-shape winner: XLA formula for
+            # VMEM-resident maps, streaming Pallas pass for HBM-resident
+            # ones ("pallas-block" forces the single-block kernel).
             scale, bias = _NormParams(x.shape[-1], name="GroupNorm_0")()
             return fused_group_norm(
                 x, scale, bias, self.num_groups, self.epsilon, self.act

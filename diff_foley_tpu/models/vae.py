@@ -29,17 +29,33 @@ def _norm(name=None):
     return nn.GroupNorm(num_groups=32, epsilon=1e-6, name=name)
 
 
+def _gn(x, name, act=None):
+    """taming Normalize (+optional SiLU) through the backend-dispatched
+    GroupNorm (ops/pallas_groupnorm.py). The default "xla" backend is the
+    flax module bit-for-bit; the non-default backends route through
+    fused_group_norm, whose measured-winner policy currently also lands on
+    the XLA formula (the custom GN kernels lost their A/Bs on the real
+    chip -- scripts/gn_microbench.py). Param tree is identical either
+    way, so one checkpoint serves all backends."""
+    from ..ops.pallas_groupnorm import fused_group_norm, get_groupnorm_backend
+    from .layers import _NormParams
+
+    if get_groupnorm_backend() != "xla":
+        scale, bias = _NormParams(x.shape[-1], name=name)()
+        return fused_group_norm(x, scale, bias, 32, 1e-6, act)
+    h = _norm(name)(x)
+    return jax.nn.silu(h) if act == "silu" else h
+
+
 class VAEResnetBlock(nn.Module):
     out_channels: int
     dropout: float = 0.0
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = _norm("norm1")(x)
-        h = jax.nn.silu(h)
+        h = _gn(x, "norm1", "silu")
         h = conv3x3(self.out_channels, name="conv1")(h)
-        h = _norm("norm2")(h)
-        h = jax.nn.silu(h)
+        h = _gn(h, "norm2", "silu")
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = conv3x3(self.out_channels, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
@@ -53,7 +69,7 @@ class VAEAttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        hn = _norm("norm")(x)
+        hn = _gn(x, "norm")
         q = conv1x1(c, name="q")(hn).reshape(b, 1, h * w, c)
         k = conv1x1(c, name="k")(hn).reshape(b, 1, h * w, c)
         v = conv1x1(c, name="v")(hn).reshape(b, 1, h * w, c)
@@ -119,8 +135,7 @@ class Encoder(nn.Module):
         h = VAEResnetBlock(ch, cfg.dropout, name="mid_block1")(h, deterministic)
         h = VAEAttnBlock(name="mid_attn")(h)
         h = VAEResnetBlock(ch, cfg.dropout, name="mid_block2")(h, deterministic)
-        h = _norm("norm_out")(h)
-        h = jax.nn.silu(h)
+        h = _gn(h, "norm_out", "silu")
         out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
         return conv3x3(out_ch, name="conv_out")(h)
 
@@ -144,8 +159,7 @@ class Decoder(nn.Module):
                 )
             if level != 0:
                 h = VAEUpsample(ch, name=f"up_{level}_us")(h)
-        h = _norm("norm_out")(h)
-        h = jax.nn.silu(h)
+        h = _gn(h, "norm_out", "silu")
         return conv3x3(cfg.out_channels, name="conv_out")(h)
 
 
@@ -165,8 +179,7 @@ class SimpleDecoder(nn.Module):
         x = VAEResnetBlock(2 * c, name="res3")(x, deterministic)
         x = conv1x1(c, name="conv4")(x)
         x = VAEUpsample(c, name="upsample")(x)
-        h = _norm("norm_out")(x)
-        h = jax.nn.silu(h)
+        h = _gn(x, "norm_out", "silu")
         return conv3x3(self.out_channels, name="conv_out")(h)
 
 
@@ -191,8 +204,7 @@ class UpsampleDecoder(nn.Module):
                 )(h, deterministic)
             if level != len(self.ch_mult) - 1:
                 h = VAEUpsample(ch, name=f"up_{level}")(h)
-        h = _norm("norm_out")(h)
-        h = jax.nn.silu(h)
+        h = _gn(h, "norm_out", "silu")
         return conv3x3(self.out_channels, name="conv_out")(h)
 
 

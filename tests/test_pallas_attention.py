@@ -72,3 +72,49 @@ def test_backend_switch(monkeypatch):
     att.set_attention_backend("xla")
     with pytest.raises(AssertionError):
         att.set_attention_backend("nope")
+
+
+@pytest.mark.parametrize(
+    "b,h,lq,lk,d,dtype",
+    [
+        (1, 2, 1024, 1024, 40, jnp.float32),   # multi-chunk: qc=512, 2 chunks
+        (2, 2, 256, 40, 80, jnp.float32),      # cross-attn, single chunk
+        (1, 2, 1024, 1024, 40, jnp.bfloat16),  # train operating point dtype
+    ],
+)
+def test_pallas_backward_matches_xla(b, h, lq, lk, d, dtype):
+    """The fused backward kernel (dQ per chunk, dK/dV accumulated across
+    revisited fp32 blocks) vs the XLA recompute formula."""
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(b, h, lq, d)), dtype)
+    k = jnp.asarray(rng.normal(size=(b, h, lk, d)), dtype)
+    v = jnp.asarray(rng.normal(size=(b, h, lk, d)), dtype)
+    g = jnp.asarray(rng.normal(size=(b, h, lq, d)), dtype)
+    scale = d**-0.5
+    assert pa._bwd_q_chunk(pa._round_up(lq, 8), pa._round_up(lk, 128))
+    out = pa._pallas_backward(q, k, v, g, scale)
+    ref = pa._xla_bwd(scale, q, k, v, g)
+    tol = 2e-4 if dtype == jnp.float32 else 6e-2
+    for a, b_ in zip(out, ref):
+        assert a.dtype == dtype
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            rtol=tol, atol=tol,
+        )
+
+
+def test_backward_chunk_accumulation_exact():
+    """dK/dV accumulated over 4 query chunks equals the one-shot formula to
+    fp32 addition order — catches init/accumulate mistakes in the revisited
+    output blocks."""
+    rng = np.random.default_rng(4)
+    lq, lk, d = 2048, 128, 40   # qc=512 -> 4 chunks
+    q = jnp.asarray(rng.normal(size=(1, 1, lq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 1, lk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 1, lk, d)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(1, 1, lq, d)), jnp.float32)
+    out = pa._pallas_backward(q, k, v, g, d**-0.5)
+    ref = pa._xla_bwd(d**-0.5, q, k, v, g)
+    for a, b_ in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)

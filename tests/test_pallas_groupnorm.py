@@ -107,3 +107,77 @@ def test_oversize_map_falls_back():
         x, jnp.ones((64,)), jnp.zeros((64,)), 32, 1e-5, None
     )
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "b,h,w,c,dtype",
+    [
+        (2, 16, 512, 256, jnp.float32),   # f32 rows: 512 KB -> 4 row-chunks
+        (2, 32, 512, 128, jnp.bfloat16),  # bf16 VAE decoder shape (scaled)
+    ],
+)
+def test_streaming_groupnorm_matches_xla(b, h, w, c, dtype):
+    """The HBM-streaming two-kernel pass (stats accumulate + affine apply)
+    against the reference formula, across multiple row-chunks per image."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)) * 1.5, dtype)
+    gamma = jnp.asarray(rng.normal(size=(c,)) * 0.1 + 1.0, jnp.float32)
+    beta = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    assert pg._stream_chunk_rows(h, w, c, x.dtype.itemsize) < h  # >1 chunk
+    out = pg._streaming_forward(x, gamma, beta, 32, 1e-6, "silu")
+    assert out.dtype == dtype
+    ref = pg._xla_group_norm(x, gamma, beta, 32, 1e-6, "silu")
+    tol = 2e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=tol, atol=tol,
+    )
+
+
+def test_fused_dispatch_streams_oversize_maps():
+    """Public entry under the "pallas-stream" backend: VMEM-resident maps
+    keep the XLA formula bit-for-bit; HBM-resident maps stream and stay
+    correct."""
+    rng = np.random.default_rng(5)
+    gamma = jnp.ones((128,), jnp.float32)
+    beta = jnp.zeros((128,), jnp.float32)
+
+    small = jnp.asarray(rng.normal(size=(2, 8, 16, 128)), jnp.float32)
+    big = jnp.asarray(rng.normal(size=(1, 128, 256, 128)), jnp.float32)
+    assert not pg.fits_vmem(big.shape)
+    assert pg.stream_eligible(big.shape, 32, 4)
+
+    pg.set_groupnorm_backend("pallas-stream")
+    out_small = pg.fused_group_norm(small, gamma, beta, 32, 1e-6, "silu")
+    out_big = pg.fused_group_norm(big, gamma, beta, 32, 1e-6, "silu")
+    pg.set_groupnorm_backend("xla")
+    np.testing.assert_array_equal(
+        np.asarray(out_small),
+        np.asarray(pg._xla_group_norm(small, gamma, beta, 32, 1e-6, "silu")),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_big),
+        np.asarray(pg._xla_group_norm(big, gamma, beta, 32, 1e-6, "silu")),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_vae_gn_param_tree_backend_invariant():
+    """VAE blocks create the same param tree under both backends, so one
+    checkpoint serves the XLA and Pallas paths (converter compatibility)."""
+    from diff_foley_tpu.models.vae import VAEResnetBlock
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 64)), jnp.float32)
+    mod = VAEResnetBlock(64)
+
+    pg.set_groupnorm_backend("xla")
+    p_xla = mod.init(jax.random.PRNGKey(0), x)
+    out_xla = mod.apply(p_xla, x)
+    pg.set_groupnorm_backend("pallas")
+    p_pl = mod.init(jax.random.PRNGKey(0), x)
+    out_pl = mod.apply(p_xla, x)
+    pg.set_groupnorm_backend("xla")
+    assert jax.tree_util.tree_structure(p_xla) == jax.tree_util.tree_structure(p_pl)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
+                               rtol=2e-5, atol=2e-5)
