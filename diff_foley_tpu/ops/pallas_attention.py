@@ -3,13 +3,19 @@
 The UNet's token counts are small (≤1024 latent tokens, 40 cond tokens) and
 head dims are 40/80/160 — far below the MXU's 128 lanes.  The win over
 unfused XLA here is keeping the whole (L, Lk) score matrix in VMEM and
-fusing QKᵀ → softmax → PV into one kernel launch per (batch·head), with the
-head dim zero-padded to the 128-lane boundary (zero padding is exact for
-QKᵀ and PV; padded key positions are masked with -inf before the softmax).
+fusing QKᵀ → softmax → PV into one kernel launch per (batch·head).
 
-For these sizes everything fits in VMEM (score matrix ≤ 4 MB fp32), so this
-is a single-block fused kernel rather than a streaming flash loop; shapes
-that would not fit fall back to the XLA path automatically.
+Layout note (measured, PROFILE_r03.json attn_nopad_ab): the kernel takes
+its operands UNPADDED from HBM — Mosaic allows block dims equal to the
+array dims, so the lane padding of the odd head dims (40/80) happens
+in-VMEM right before the contraction dots instead of as explicit
+`jnp.pad`/slice HBM round-trips. That removed the pad/copy ops at every
+kernel boundary (~10% of UNet fwd device time in the padded design) and
+fixed a pathological 2.8× on the (Lq=256, Lk=40) cross-attention shape.
+
+For these sizes everything fits in VMEM (score matrix ≤ 4 MB fp32), so the
+forward is a single-block fused kernel rather than a streaming flash loop;
+shapes that would not fit fall back to the XLA path automatically.
 
 Backward: a fused Pallas kernel streamed over query chunks — the XLA
 recompute formula materialises the fp32 (L, L) probability matrix to HBM
@@ -17,6 +23,7 @@ twice per site (PROFILE_r03.json train_step shows those
 f32[32,8,1024,1024] intermediates among the top backward ops); the kernel
 keeps P and dS VMEM-resident per chunk, accumulating dK/dV across chunks
 in revisited fp32 output blocks (TPU grids execute sequentially).
+A/B on the shipped train step: 307.4 → 275.6 ms (+11.5% throughput).
 Shapes the kernel can't tile fall back to the XLA formula.
 """
 from __future__ import annotations
@@ -25,7 +32,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -41,18 +47,23 @@ def _xla_reference(q, k, v, scale):
     return _xla_attention(q, k, v, scale)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
-    q = q_ref[0]          # (Lq_pad, D_pad)
-    k = k_ref[0]          # (Lk_pad, D_pad)
-    v = v_ref[0]
+def _pad_lanes(x, d_pad: int):
+    """Zero-pad the minor (lane) dim in VMEM; exact for contraction dots."""
+    d = x.shape[-1]
+    if d_pad > d:
+        return jnp.pad(x, ((0, 0), (0, d_pad - d)))
+    return x
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, d_pad: int):
+    q = _pad_lanes(q_ref[0], d_pad)   # (Lq, D_pad)
+    k = _pad_lanes(k_ref[0], d_pad)   # (Lk, D_pad)
+    v = v_ref[0]                      # (Lk, D) — PV contracts over Lk
     scores = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale             # (Lq_pad, Lk_pad) fp32
-    if kv_len < scores.shape[-1]:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col < kv_len, scores, -1e30)
+    ) * scale             # (Lq, Lk) fp32; no padded keys → no mask
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -67,38 +78,30 @@ def _pallas_forward(q, k, v, scale):
     b, h, lq, d = q.shape
     lk = k.shape[2]
     d_pad = _round_up(d, 128)
-    lq_pad = _round_up(lq, 8)
-    lk_pad = _round_up(lk, 128)
-
-    def pad(x, l_pad):
-        return jnp.pad(
-            x.reshape(b * h, x.shape[2], d),
-            ((0, 0), (0, l_pad - x.shape[2]), (0, d_pad - d)),
-        )
-
-    qp, kp, vp = pad(q, lq_pad), pad(k, lk_pad), pad(v, lk_pad)
-
+    qr = q.reshape(b * h, lq, d)
+    kr = k.reshape(b * h, lk, d)
+    vr = v.reshape(b * h, lk, d)
     out = pl.pallas_call(
-        partial(_attn_kernel, scale=scale, kv_len=lk),
+        partial(_attn_kernel, scale=scale, d_pad=d_pad),
         grid=(b * h,),
         in_specs=[
-            pl.BlockSpec((1, lq_pad, d_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad, d_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, lk, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad, d_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, lk, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, lq_pad, d_pad), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * (lq_pad * lk_pad * d_pad * 2),
-            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
-            transcendentals=b * h * lq_pad * lk_pad,
+            flops=2 * b * h * (lq * lk * d_pad * 2),
+            bytes_accessed=(qr.size + kr.size + vr.size) * qr.dtype.itemsize,
+            transcendentals=b * h * lq * lk,
         ),
-    )(qp, kp, vp)
-    return out[:, :lq, :d].reshape(b, h, lq, d)
+    )(qr, kr, vr)
+    return out.reshape(b, h, lq, d)
 
 
 def _fits_vmem(q, k) -> bool:
@@ -137,30 +140,28 @@ def _xla_bwd(scale, q, k, v, g):
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref,
-                     dq_ref, dk_ref, dv_ref, *, scale: float, kv_len: int):
+                     dq_ref, dk_ref, dv_ref, *, scale: float, d_pad: int):
     """One query chunk of one (batch·head): recompute P for the chunk in
     VMEM, emit dQ for the chunk, accumulate dK/dV across chunks (grid dim 1
     is fastest, so the fp32 dK/dV blocks stay resident between visits)."""
-    q = q_ref[0]          # (Qc, D_pad)
-    k = k_ref[0]          # (Lk_pad, D_pad)
-    v = v_ref[0]
-    g = g_ref[0]          # (Qc, D_pad)
+    d = q_ref.shape[-1]
+    q = _pad_lanes(q_ref[0], d_pad)   # (Qc, D_pad)
+    k = _pad_lanes(k_ref[0], d_pad)   # (Lk, D_pad)
+    v = _pad_lanes(v_ref[0], d_pad)
+    g = _pad_lanes(g_ref[0], d_pad)   # (Qc, D_pad)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale             # (Qc, Lk_pad) fp32
-    if kv_len < s.shape[-1]:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, -1e30)
+    ) * scale             # (Qc, Lk) fp32; no padded keys → no mask
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     p_lp = p.astype(g.dtype)
-    dv = jax.lax.dot_general(                  # Pᵀ g  → (Lk_pad, D_pad)
+    dv = jax.lax.dot_general(                  # Pᵀ g  → (Lk, D_pad)
         p_lp, g, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    gp = jax.lax.dot_general(                  # g Vᵀ → (Qc, Lk_pad) fp32
+    )[:, :d]
+    gp = jax.lax.dot_general(                  # g Vᵀ → (Qc, Lk) fp32
         g, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -169,11 +170,11 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref,
     dq_ref[0] = (jax.lax.dot_general(          # dS K → (Qc, D_pad)
         ds, k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale).astype(dq_ref.dtype)
-    dk = jax.lax.dot_general(                  # dSᵀ Q → (Lk_pad, D_pad)
+    ) * scale)[:, :d].astype(dq_ref.dtype)
+    dk = (jax.lax.dot_general(                 # dSᵀ Q → (Lk, D_pad)
         ds, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    ) * scale)[:, :d]
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -186,17 +187,19 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref,
         dv_ref[0] += dv
 
 
-def _bwd_q_chunk(lq_pad: int, lk_pad: int, d_pad: int = 128,
+def _bwd_q_chunk(lq: int, lk: int, d: int = 128,
                  itemsize: int = 4) -> int | None:
     """Largest query-chunk size for which one grid step's working set —
-    K/V input blocks, fp32 dK/dV accumulator blocks, the fp32 (Qc, Lk_pad)
+    K/V input blocks, fp32 dK/dV accumulator blocks, the fp32 (Qc, Lk)
     score and dS buffers, and double-buffered Q/dO/dQ chunks — fits in
-    VMEM; None → XLA fallback."""
+    VMEM (sized at lane-padded extents); None → XLA fallback."""
+    lk_pad = _round_up(lk, 128)
+    d_pad = _round_up(d, 128)
     fixed = (2 * itemsize + 2 * 4) * lk_pad * d_pad   # k,v in + f32 dk,dv out
     if fixed > 6 * 1024 * 1024:
         return None
     for qc in (512, 256, 128, 64, 32, 16, 8):
-        if lq_pad % qc != 0:
+        if lq % qc != 0:
             continue
         scores = 2 * 4 * qc * lk_pad                  # s/p + gp/ds fp32
         chunked = 2 * 3 * qc * d_pad * itemsize       # q, g, dq ×2 buffers
@@ -209,43 +212,37 @@ def _pallas_backward(q, k, v, g, scale):
     b, h, lq, d = q.shape
     lk = k.shape[2]
     d_pad = _round_up(d, 128)
-    lq_pad = _round_up(lq, 8)
-    lk_pad = _round_up(lk, 128)
+    qc = _bwd_q_chunk(lq, lk, d, q.dtype.itemsize)
+    qr = q.reshape(b * h, lq, d)
+    kr = k.reshape(b * h, lk, d)
+    vr = v.reshape(b * h, lk, d)
+    gr = g.reshape(b * h, lq, d)
+    n_chunks = lq // qc
 
-    def pad(x, l_pad):
-        return jnp.pad(
-            x.reshape(b * h, x.shape[2], d),
-            ((0, 0), (0, l_pad - x.shape[2]), (0, d_pad - d)),
-        )
-
-    qc = _bwd_q_chunk(lq_pad, lk_pad, d_pad, q.dtype.itemsize)
-    qp, kp, vp, gp = pad(q, lq_pad), pad(k, lk_pad), pad(v, lk_pad), pad(g, lq_pad)
-    n_chunks = lq_pad // qc
-
-    kv_spec = pl.BlockSpec((1, lk_pad, d_pad), lambda i, j: (i, 0, 0),
+    kv_spec = pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    qg_spec = pl.BlockSpec((1, qc, d_pad), lambda i, j: (i, j, 0),
+    qg_spec = pl.BlockSpec((1, qc, d), lambda i, j: (i, j, 0),
                            memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
-        partial(_attn_bwd_kernel, scale=scale, kv_len=lk),
+        partial(_attn_bwd_kernel, scale=scale, d_pad=d_pad),
         grid=(b * h, n_chunks),
         in_specs=[qg_spec, kv_spec, kv_spec, qg_spec],
         out_specs=[qg_spec, kv_spec, kv_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, lq_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((b * h, lk_pad, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, lk_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, lk, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, lk, d), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=5 * 2 * b * h * lq_pad * lk_pad * d_pad,
-            bytes_accessed=(qp.size + gp.size + qp.size) * q.dtype.itemsize
-            + 2 * (kp.size + vp.size) * q.dtype.itemsize,
-            transcendentals=b * h * lq_pad * lk_pad,
+            flops=5 * 2 * b * h * lq * lk * d_pad,
+            bytes_accessed=3 * qr.size * q.dtype.itemsize
+            + 2 * (kr.size + vr.size) * q.dtype.itemsize,
+            transcendentals=b * h * lq * lk,
         ),
-    )(qp, kp, vp, gp)
-    dq = dq[:, :lq, :d].reshape(b, h, lq, d)
-    dk = dk[:, :lk, :d].reshape(b, h, lk, d).astype(q.dtype)
-    dv = dv[:, :lk, :d].reshape(b, h, lk, d).astype(q.dtype)
+    )(qr, kr, vr, gr)
+    dq = dq.reshape(b, h, lq, d)
+    dk = dk.reshape(b, h, lk, d).astype(q.dtype)
+    dv = dv.reshape(b, h, lk, d).astype(q.dtype)
     return dq, dk, dv
 
 
@@ -260,12 +257,10 @@ def set_attention_bwd_impl(name: str) -> None:
 
 def _bwd(scale, res, g):
     q, k, v = res
-    lq_pad = _round_up(q.shape[2], 8)
-    lk_pad = _round_up(k.shape[2], 128)
-    d_pad = _round_up(q.shape[3], 128)
     if (
         _BWD_IMPL != "pallas"
-        or _bwd_q_chunk(lq_pad, lk_pad, d_pad, q.dtype.itemsize) is None
+        or _bwd_q_chunk(q.shape[2], k.shape[2], q.shape[3],
+                        q.dtype.itemsize) is None
     ):
         return _xla_bwd(scale, q, k, v, g)
     return _pallas_backward(q, k, v, g, scale)
