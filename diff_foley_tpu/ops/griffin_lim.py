@@ -68,7 +68,7 @@ def mel_to_stft(
     return x
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop_length", "n_iter", "length"))
+@partial(jax.jit, static_argnames=("n_fft", "hop_length", "n_iter", "length", "rdft"))
 def griffin_lim(
     spec_mag: jnp.ndarray,
     key: jax.Array,
@@ -77,12 +77,18 @@ def griffin_lim(
     n_iter: int = 32,
     momentum: float = 0.99,
     length: int | None = None,
+    rdft: str = "matmul",
 ) -> jnp.ndarray:
     """Griffin-Lim phase recovery of a (..., n_freq, n_frames) magnitude.
 
     Random phase init + momentum acceleration, matching librosa 0.8 defaults
     used by the reference (`demo_util.py:196-211` at the corrected 16 kHz
     semantics).
+
+    ``rdft="matmul"`` (default) runs the inner ISTFT/STFT transforms as
+    fp32 MXU matmuls instead of XLA's FFT - measured 16% faster on the
+    v5e at identical spectral convergence (PROFILE_r03.json gl_rdft_ab);
+    pass "fft" for the XLA FFT lowering.
     """
     phase = jax.random.uniform(key, spec_mag.shape, dtype=jnp.float32)
     angles = jnp.exp(2j * jnp.pi * phase).astype(jnp.complex64)
@@ -91,8 +97,9 @@ def griffin_lim(
 
     def body(i, carry):
         angles, rebuilt_prev = carry
-        inverse = istft(spec_c * angles, n_fft=n_fft, hop_length=hop_length)
-        rebuilt = stft(inverse, n_fft=n_fft, hop_length=hop_length)
+        inverse = istft(spec_c * angles, n_fft=n_fft, hop_length=hop_length,
+                        rdft=rdft)
+        rebuilt = stft(inverse, n_fft=n_fft, hop_length=hop_length, rdft=rdft)
         angles_new = rebuilt - (momentum / (1.0 + momentum)) * rebuilt_prev
         angles_new = angles_new / (jnp.abs(angles_new) + eps)
         return angles_new, rebuilt
@@ -100,4 +107,5 @@ def griffin_lim(
     angles, _ = jax.lax.fori_loop(
         0, n_iter, body, (angles, jnp.zeros_like(angles))
     )
-    return istft(spec_c * angles, n_fft=n_fft, hop_length=hop_length, length=length)
+    return istft(spec_c * angles, n_fft=n_fft, hop_length=hop_length,
+                 length=length, rdft=rdft)

@@ -135,3 +135,45 @@ def test_mel_to_wav_batched():
     spec = wav_to_mel(jnp.asarray(x))
     y = mel_to_wav(spec, jax.random.PRNGKey(1), length=8192)
     assert y.shape == (2, 8192)
+
+
+def test_rdft_matmul_backend_matches_fft():
+    """The MXU-matmul rDFT backend (Griffin-Lim's default) against XLA's
+    FFT, both directions, plus the public backend switch."""
+    import importlib
+    import sys
+
+    importlib.import_module("diff_foley_tpu.ops.stft")
+    stft_mod = sys.modules["diff_foley_tpu.ops.stft"]
+
+    x = _chirp(16384)
+    s_fft = stft(jnp.asarray(x), rdft="fft")
+    s_mm = stft(jnp.asarray(x), rdft="matmul")
+    np.testing.assert_allclose(
+        np.abs(np.asarray(s_mm)), np.abs(np.asarray(s_fft)),
+        atol=2e-3, rtol=1e-3,
+    )
+    y = np.asarray(istft(s_mm, length=len(x), rdft="matmul"))
+    np.testing.assert_allclose(y, x, atol=2e-4)
+
+    stft_mod.set_stft_backend("matmul")
+    try:
+        s_glob = stft(jnp.asarray(x))
+        np.testing.assert_array_equal(np.asarray(s_glob), np.asarray(s_mm))
+    finally:
+        stft_mod.set_stft_backend("fft")
+
+
+def test_griffin_lim_rdft_backends_agree():
+    """GL quality is backend-independent (same SC to within tolerance)."""
+    from diff_foley_tpu.ops.griffin_lim import griffin_lim
+
+    x = _chirp(16000)
+    mag = jnp.abs(stft(jnp.asarray(x)))
+    scs = []
+    for rdft in ("fft", "matmul"):
+        y = griffin_lim(mag, jax.random.PRNGKey(0), n_iter=8, length=len(x),
+                        rdft=rdft)
+        rec = jnp.abs(stft(y))[..., : mag.shape[-1]]
+        scs.append(float(jnp.linalg.norm(rec - mag) / jnp.linalg.norm(mag)))
+    assert abs(scs[0] - scs[1]) < 0.02, scs
