@@ -286,6 +286,11 @@ def main():
     from diff_foley_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    # the shipped operating point everywhere, training included: Pallas
+    # attention fwd + the chunked Pallas backward (train step 306 → 273 ms,
+    # PROFILE_r03.json attn_bwd_ab). Previously only build_pipeline set
+    # this, so the train bench silently ran XLA attention.
+    set_attention_backend("pallas")
     extras_train = {}
     # train step FIRST, while HBM is clean: batch 32 (the single-chip
     # sweet spot) does not fit alongside the resident inference pipeline
