@@ -33,6 +33,9 @@ CHAIN = 5
 
 
 def capture_trace(tmpdir: str):
+    from diff_foley_tpu.ops.attention import set_attention_backend
+
+    set_attention_backend("pallas")  # shipped operating point (fwd + bwd)
     ldm = LatentDiffusion(LDMConfig())
     tcfg = Stage2TrainConfig(mu_dtype="bfloat16", compute_dtype="bfloat16")
     state = jax.jit(lambda k: init_train_state(ldm, k, tcfg))(
