@@ -42,7 +42,10 @@ class DiffFoley:
         self.ldm = ldm
         self.cavp = cavp
         self.cavp_variables = cavp_variables
-        self.pipe = DiffFoleyPipeline(ldm, params, vae_params, classifier)
+        self.pipe = DiffFoleyPipeline(
+            ldm, params, vae_params, classifier,
+            vae_dtype="bfloat16" if bf16 else None,
+        )
         self._encode = jax.jit(
             lambda v, x: cavp.apply(
                 v, jnp.asarray(x),

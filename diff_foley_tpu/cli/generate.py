@@ -121,7 +121,8 @@ def main(argv=None):
         # guidance context = raw CAVP feats (alignment_classifier.py:285-287)
         classifier = (clf.apply, clf_params)
 
-    pipe = DiffFoleyPipeline(ldm, params, vae_params, classifier=classifier)
+    pipe = DiffFoleyPipeline(ldm, params, vae_params, classifier=classifier,
+                             vae_dtype="bfloat16" if args.bf16 else None)
     gen = GenerationConfig(
         sampler=args.sampler, steps=args.steps, cfg_scale=args.cfg_scale,
         classifier_scale=args.cg_scale, sample_num=args.sample_num,

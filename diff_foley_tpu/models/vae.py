@@ -43,7 +43,9 @@ def _gn(x, name, act=None):
     if get_groupnorm_backend() != "xla":
         scale, bias = _NormParams(x.shape[-1], name=name)()
         return fused_group_norm(x, scale, bias, 32, 1e-6, act)
-    h = _norm(name)(x)
+    # stats in fp32 regardless of activation dtype (GroupNorm32 policy,
+    # models/layers.py): bf16 variance at eps=1e-6 is too coarse
+    h = _norm(name)(x.astype(jnp.float32)).astype(x.dtype)
     return jax.nn.silu(h) if act == "silu" else h
 
 

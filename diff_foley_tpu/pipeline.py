@@ -59,12 +59,24 @@ class DiffFoleyPipeline:
         classifier=None,  # (apply_fn, params)
         melspec: MelSpec = DEFAULT_MELSPEC,
         mesh=None,
+        vae_dtype=None,
     ):
         """`mesh` (with a `data` axis) runs generation data-parallel over
         chips: params replicated, windows sharded P('data'), GSPMD inserts
-        the collectives — multi-chip serving without code changes."""
+        the collectives — multi-chip serving without code changes.
+
+        `vae_dtype="bfloat16"` runs the first-stage decode in bf16 (conv
+        kernels + activations; GroupNorm stats stay fp32 per the
+        GroupNorm32 policy). Drift vs fp32 is recorded in
+        PARITY_FLAGSHIP.json; the decoded spec is upcast to fp32 before
+        clipping/Griffin-Lim either way."""
         self.ldm = ldm or LatentDiffusion(LDMConfig())
         self.params = params
+        self._vae_compute = jnp.dtype(vae_dtype) if vae_dtype else None
+        if self._vae_compute is not None and vae_params is not None:
+            from .utils.precision import cast_floating
+
+            vae_params = cast_floating(vae_params, self._vae_compute)
         self.vae_params = vae_params
         self.classifier = classifier
         self.melspec = melspec
@@ -112,8 +124,10 @@ class DiffFoleyPipeline:
             classifier_scale=gen.classifier_scale if use_clf else 0.0,
             x_T=x_T,
         )
+        if self._vae_compute is not None:
+            z = z.astype(self._vae_compute)
         spec_img = self.ldm.decode_first_stage(vae_params, z)  # (w*s,128,512,3)
-        return jnp.clip(spec_img[..., 0], 0.0, 1.0)
+        return jnp.clip(spec_img[..., 0].astype(jnp.float32), 0.0, 1.0)
 
     @partial(jax.jit, static_argnames=("self", "gen"))
     def _invert(self, specs, key, gen):
