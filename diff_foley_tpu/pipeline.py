@@ -38,6 +38,12 @@ class GenerationConfig:
     sample_num: int = 4
     gl_iters: int = 32
     return_spec: bool = True  # False skips the spec host transfer (serving)
+    # extra sampler options as hashable (key, value) pairs — GenerationConfig
+    # is a static jit arg. For sampler="dpm" this exposes the full solver
+    # library (diffusion/samplers.py): order 1-3, method
+    # multistep/singlestep/singlestep_fixed/adaptive, skip_type, thresholding.
+    # e.g. solver_opts=(("order", 3), ("method", "singlestep"))
+    solver_opts: tuple = ()
 
 
 def window_features(feats: np.ndarray, window: int = WINDOW_FEATS) -> np.ndarray:
@@ -123,6 +129,7 @@ class DiffFoleyPipeline:
             classifier=self.classifier if use_clf else None,
             classifier_scale=gen.classifier_scale if use_clf else 0.0,
             x_T=x_T,
+            **dict(gen.solver_opts),
         )
         if self._vae_compute is not None:
             z = z.astype(self._vae_compute)
