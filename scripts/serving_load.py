@@ -46,7 +46,8 @@ def build_pipeline(key):
         k, jnp.zeros((1, 16, 64, 4)), jnp.zeros((1,)), jnp.zeros((1, 40, 512)),
     ))(k3))
     return DiffFoleyPipeline(ldm, params, vae_params,
-                             classifier=(clf.apply, clf_params))
+                             classifier=(clf.apply, clf_params),
+                             vae_dtype="bfloat16")
 
 
 def main():
