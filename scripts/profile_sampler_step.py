@@ -63,30 +63,49 @@ def main():
     cond = jnp.zeros((BATCH, 40, 768), jnp.bfloat16)
     feats = jnp.zeros((BATCH, 40, 512), jnp.bfloat16)
 
-    def model_fn(x_, t_, c_):
-        return ldm.unet.apply(params["unet"], x_, t_, c_)
+    # params must be jit ARGUMENTS, not closed-over constants: baked-in
+    # 860M-param constants blow past the relay's compile-payload limit
+    # (HTTP 413 from remote_compile).
+    def build(p, cp, x_):
+        def model_fn(xx, tt, cc):
+            return ldm.unet.apply(p, xx, tt, cc)
 
-    def classifier_fn(x_, t_, c_):
-        return jax.nn.log_sigmoid(clf.apply(clf_params, x_, t_, c_))
+        def classifier_fn(xx, tt, cc):
+            return jax.nn.log_sigmoid(clf.apply(cp, xx, tt, cc))
 
-    # (a) CFG-only guided eps: one 2x-batch UNet call
-    eps_cfg = make_guided_eps_fn(
-        model_fn, cond, jnp.zeros_like(cond), GuidanceSpec(cfg_scale=4.5))
-    f_cfg = jax.jit(lambda x_: eps_cfg(x_, t, 1.0))
+        return model_fn, classifier_fn
 
-    # (b) full guidance: CFG + classifier gradient (the shipped step)
-    eps_full = make_guided_eps_fn(
-        model_fn, cond, jnp.zeros_like(cond),
-        GuidanceSpec(cfg_scale=4.5, classifier_scale=50.0),
-        classifier_fn=classifier_fn, classifier_cond=feats)
-    f_full = jax.jit(lambda x_: eps_full(x_, t, 1.0))
+    def cfg_eps(p, cp, x_):
+        model_fn, _ = build(p, cp, x_)
+        eps = make_guided_eps_fn(
+            model_fn, cond, jnp.zeros_like(cond), GuidanceSpec(cfg_scale=4.5))
+        return eps(x_, t, 1.0)
 
-    # (c) classifier gradient alone (fwd+bwd of the half-UNet backbone)
-    grad_fn = jax.grad(lambda x_: jnp.sum(classifier_fn(x_, t, feats)))
-    f_clf = jax.jit(lambda x_: grad_fn(x_))
+    def full_eps(p, cp, x_):
+        model_fn, classifier_fn = build(p, cp, x_)
+        eps = make_guided_eps_fn(
+            model_fn, cond, jnp.zeros_like(cond),
+            GuidanceSpec(cfg_scale=4.5, classifier_scale=50.0),
+            classifier_fn=classifier_fn, classifier_cond=feats)
+        return eps(x_, t, 1.0)
 
-    # (d) single-batch UNet forward (no CFG doubling), for the 2x check
-    f_unet1 = jax.jit(lambda x_: model_fn(x_, t, cond))
+    def clf_grad(p, cp, x_):
+        _, classifier_fn = build(p, cp, x_)
+        return jax.grad(lambda xx: jnp.sum(classifier_fn(xx, t, feats)))(x_)
+
+    def unet1(p, cp, x_):
+        model_fn, _ = build(p, cp, x_)
+        return model_fn(x_, t, cond)
+
+    up = params["unet"]
+    f_cfg = jax.jit(cfg_eps)
+    f_full = jax.jit(full_eps)
+    f_clf = jax.jit(clf_grad)
+    f_unet1 = jax.jit(unet1)
+    f_cfg = lambda x_, _f=f_cfg: _f(up, clf_params, x_)
+    f_full = lambda x_, _f=f_full: _f(up, clf_params, x_)
+    f_clf = lambda x_, _f=f_clf: _f(up, clf_params, x_)
+    f_unet1 = lambda x_, _f=f_unet1: _f(up, clf_params, x_)
 
     res = {
         "operating_point": f"batch {BATCH}, bf16 + Pallas attention, "
