@@ -73,36 +73,13 @@ def build_pipeline(key):
 V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s (MXU)
 
 
-def _timed(fn, *args, iters=5):
-    """Median wall-time with a forced scalar host readback per call.
-    NOTE: includes one relay dispatch+readback round trip (~25-30 ms on the
-    axon link) — see _timed_chained for the amortized on-device time."""
-    out = fn(*args)
-    _ = float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).sum())  # compile
-    times = []
-    for _i in range(iters):
-        t0 = time.time()
-        out = fn(*args)
-        _ = float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).sum())
-        times.append(time.time() - t0)
-    return float(np.median(times))
-
-
-def _timed_chained(step_fn, x0, iters=5, chain=10):
-    """Amortized per-call time: chain the fn on its own output `chain` times
-    with ONE readback — what a scanned sampler step actually costs (the
-    relay's per-dispatch latency is amortized away)."""
-    out = step_fn(x0)
-    _ = float(jnp.asarray(out).sum())
-    times = []
-    for _i in range(iters):
-        x = x0
-        t0 = time.time()
-        for _c in range(chain):
-            x = step_fn(x)
-        _ = float(jnp.asarray(x).sum())
-        times.append((time.time() - t0) / chain)
-    return float(np.median(times))
+# canonical relay-aware timing harnesses (docs/PERFORMANCE.md §2):
+# _timed includes one dispatch+readback round trip; _timed_chained
+# amortizes it across a dependent chain with one readback.
+from diff_foley_tpu.utils.profiling import (  # noqa: E402
+    timed_chained as _timed_chained,
+    timed_dispatch as _timed,
+)
 
 
 def bench_components(pipe, extras):
@@ -134,7 +111,7 @@ def bench_components(pipe, extras):
     except Exception:
         extras["unet_mfu_pct"] = None
 
-    vdt = pipe._vae_compute or jnp.float32
+    vdt = pipe.vae_compute or jnp.float32
     dec = jax.jit(lambda vp, z: ldm.decode_first_stage(vp, z.astype(vdt)))
     extras["vae_decode_ms"] = round(
         _timed(dec, pipe.vae_params, jnp.zeros((b, 16, 64, 4))) * 1e3, 1

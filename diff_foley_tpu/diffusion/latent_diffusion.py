@@ -268,5 +268,11 @@ class LatentDiffusion:
                 eps_fn, self.schedule, x_T, k_samp, steps=steps, **solver_kwargs
             )
         if sampler == "plms":
+            if solver_kwargs:
+                # fail loudly: PLMS takes no solver options — silently
+                # dropping e.g. order=3 would misreport what was sampled
+                raise TypeError(
+                    f"plms accepts no solver options, got {sorted(solver_kwargs)}"
+                )
             return plms_sample(eps_fn, self.schedule, x_T, steps=steps)
         raise ValueError(f"unknown sampler '{sampler}'")

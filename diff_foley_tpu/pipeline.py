@@ -78,11 +78,11 @@ class DiffFoleyPipeline:
         clipping/Griffin-Lim either way."""
         self.ldm = ldm or LatentDiffusion(LDMConfig())
         self.params = params
-        self._vae_compute = jnp.dtype(vae_dtype) if vae_dtype else None
-        if self._vae_compute is not None and vae_params is not None:
+        self.vae_compute = jnp.dtype(vae_dtype) if vae_dtype else None
+        if self.vae_compute is not None and vae_params is not None:
             from .utils.precision import cast_floating
 
-            vae_params = cast_floating(vae_params, self._vae_compute)
+            vae_params = cast_floating(vae_params, self.vae_compute)
         self.vae_params = vae_params
         self.classifier = classifier
         self.melspec = melspec
@@ -131,8 +131,8 @@ class DiffFoleyPipeline:
             x_T=x_T,
             **dict(gen.solver_opts),
         )
-        if self._vae_compute is not None:
-            z = z.astype(self._vae_compute)
+        if self.vae_compute is not None:
+            z = z.astype(self.vae_compute)
         spec_img = self.ldm.decode_first_stage(vae_params, z)  # (w*s,128,512,3)
         return jnp.clip(spec_img[..., 0].astype(jnp.float32), 0.0, 1.0)
 

@@ -15,6 +15,7 @@ from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def count_params(tree, verbose: bool = False, name: str = "model") -> int:
@@ -59,6 +60,44 @@ def _force(tree):
     leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "sum")]
     if leaves:
         float(leaves[0].sum())
+
+
+def timed_chained(step_fn: Callable, x0, iters: int = 5, chain: int = 10):
+    """Amortized per-call seconds: chain `step_fn` on its own output `chain`
+    times with ONE scalar readback, median over `iters` trials.
+
+    This is the canonical hot-loop measurement on the axon relay
+    (docs/PERFORMANCE.md §2): block_until_ready doesn't block there and a
+    single dispatch pays a ~25-30 ms round trip, so per-call timings of a
+    2 ms kernel read as 27 ms unless the dispatch latency is amortized
+    across a dependent chain. `step_fn` must map x -> same-shape/dtype x
+    (cast inside if needed)."""
+    out = step_fn(x0)
+    _ = float(jnp.asarray(out, jnp.float32).sum())  # compile + settle
+    times = []
+    for _ in range(iters):
+        x = x0
+        t0 = time.time()
+        for _c in range(chain):
+            x = step_fn(x)
+        _ = float(jnp.asarray(x, jnp.float32).sum())
+        times.append((time.time() - t0) / chain)
+    return float(np.median(times))
+
+
+def timed_dispatch(fn: Callable, *args, iters: int = 5):
+    """Median wall-seconds of a SINGLE dispatch + scalar readback — includes
+    one relay round trip (~25-30 ms on the axon link). Compare against
+    timed_chained to attribute dispatch latency."""
+    out = fn(*args)
+    _force(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        out = fn(*args)
+        _force(out)
+        times.append(time.time() - t0)
+    return float(np.median(times))
 
 
 def flops_per_second(fn: Callable, *args, iters: int = 10) -> Dict[str, float]:

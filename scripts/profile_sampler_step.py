@@ -10,13 +10,11 @@ import dataclasses
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from diff_foley_tpu.diffusion.guidance import GuidanceSpec, make_guided_eps_fn
 from diff_foley_tpu.diffusion.latent_diffusion import LatentDiffusion, LDMConfig
@@ -24,23 +22,9 @@ from diff_foley_tpu.models.unet import CLASSIFIER_BACKBONE, ClassifierBackbone
 from diff_foley_tpu.ops.attention import set_attention_backend
 from diff_foley_tpu.utils.compile_cache import enable_compile_cache
 from diff_foley_tpu.utils.precision import cast_floating
+from diff_foley_tpu.utils.profiling import timed_chained
 
 BATCH = 32
-CHAIN = 10
-
-
-def timed_chained(fn, x, iters=4, chain=CHAIN):
-    out = fn(x)
-    _ = float(jnp.asarray(out, jnp.float32).sum())
-    times = []
-    for _ in range(iters):
-        y = x
-        t0 = time.time()
-        for _c in range(chain):
-            y = fn(y).astype(x.dtype)
-        _ = float(jnp.asarray(y, jnp.float32).sum())
-        times.append((time.time() - t0) / chain)
-    return float(np.median(times))
 
 
 def main():

@@ -59,3 +59,12 @@ def test_generation_config_solver_opts():
     assert np.isfinite(o3["wav"]).all()
     # a different solver configuration must actually change the trajectory
     assert np.abs(o3["spec"] - o2["spec"]).max() > 1e-6
+
+    # solver options reach only samplers that honour them: plms must fail
+    # loudly instead of silently dropping e.g. order=3
+    import pytest
+
+    genp = dataclasses.replace(base, sampler="plms",
+                               solver_opts=(("order", 3),))
+    with pytest.raises(TypeError, match="plms accepts no solver options"):
+        pipe.generate(feats, jax.random.PRNGKey(2), genp)
