@@ -79,6 +79,41 @@ class DiffFoley:
         return cls(ldm_model, params, vae_params, cavp_model, cavp_vars, clf,
                    bf16=bf16)
 
+    @classmethod
+    def from_native_checkpoints(
+        cls, cavp: str, ldm: str, classifier: Optional[str] = None,
+        vae_ckpt: Optional[str] = None, bf16: bool = True,
+        frame_size: int = 224,
+    ) -> "DiffFoley":
+        """Assemble the inference API from this framework's OWN training
+        logdirs (cli.train_cavp / cli.train_stage2 / cli.train_classifier
+        outputs) — the native twin of `from_checkpoints`. The LDM uses its
+        EMA weights when the run trained them; the first-stage VAE comes
+        from the stage-2 logdir, or `vae_ckpt` (a torch checkpoint)
+        overrides it."""
+        from .utils.checkpoint import (
+            load_native_cavp,
+            load_native_classifier,
+            load_native_ldm,
+            load_vae_checkpoint,
+        )
+
+        ldm_model, params, vae_params = load_native_ldm(ldm)
+        if vae_ckpt is not None:
+            vae_params = load_vae_checkpoint(vae_ckpt, ldm_model.cfg.vae)
+        if vae_params is None:
+            raise FileNotFoundError(
+                f"{ldm}/vae holds no first-stage VAE weights (logdir predates "
+                "VAE persistence?) — pass vae_ckpt="
+            )
+        cavp_model, cavp_vars = load_native_cavp(cavp)
+        clf = None
+        if classifier:
+            trainer, cparams, _ = load_native_classifier(classifier)
+            clf = (trainer.backbone.apply, cparams["backbone"])
+        return cls(ldm_model, params, vae_params, cavp_model, cavp_vars, clf,
+                   bf16=bf16, frame_size=frame_size)
+
     def extract_features(self, video_path: str, start_second: float = 0.0,
                          truncate_second: Optional[float] = None) -> np.ndarray:
         return extract_cavp_features(

@@ -54,14 +54,30 @@ def main(argv=None):
     from ..eval.align_acc import alignment_accuracy
     from ..train.classifier import ClassifierTrainer
 
-    trainer = ClassifierTrainer()
-    if args.classifier_ckpt:
+    if args.classifier_ckpt and os.path.isdir(args.classifier_ckpt) and \
+            os.path.exists(os.path.join(args.classifier_ckpt, "config.json")):
+        # a diff_foley_tpu training logdir (cli.train_classifier output):
+        # trainer config, params, and the frozen VAE all come from it
+        from ..utils.checkpoint import load_native_classifier
+
+        trainer, params, vae_params = load_native_classifier(
+            args.classifier_ckpt
+        )
+        if vae_params is None:
+            raise SystemExit(
+                f"{args.classifier_ckpt}/vae holds no VAE weights (logdir "
+                "predates VAE persistence) — re-save or score manually via "
+                "eval.align_acc"
+            )
+    elif args.classifier_ckpt:
         from ..utils.checkpoint import load_reference_classifier
 
+        trainer = ClassifierTrainer()
         cp = load_reference_classifier(args.classifier_ckpt)
         params = {"backbone": cp["backbone"], "cond": cp["cond"]}
         vae_params = cp["vae"]
     else:
+        trainer = ClassifierTrainer()
         import jax.numpy as jnp
 
         params = trainer.init_params(jax.random.PRNGKey(0))

@@ -25,6 +25,8 @@ def parse_args(argv=None):
     p.add_argument("--cavp-ckpt", default=None)
     p.add_argument("--fps", type=float, default=4.0)
     p.add_argument("--batch-size", type=int, default=40)
+    p.add_argument("--frame-size", type=int, default=224,
+                   help="ingest resize (match the CAVP's training geometry)")
     return p.parse_args(argv)
 
 
@@ -33,12 +35,20 @@ def main(argv=None):
     from ..models.cavp import CAVPModel
     from ..video.ingest import extract_cavp_features
 
-    model = CAVPModel()
-    if args.cavp_ckpt:
+    if args.cavp_ckpt and os.path.isdir(args.cavp_ckpt) and os.path.exists(
+        os.path.join(args.cavp_ckpt, "config.json")
+    ):
+        # a diff_foley_tpu stage-1 training logdir
+        from ..utils.checkpoint import load_native_cavp
+
+        model, variables = load_native_cavp(args.cavp_ckpt)
+    elif args.cavp_ckpt:
         from ..utils.checkpoint import load_reference_cavp
 
+        model = CAVPModel()
         variables = load_reference_cavp(args.cavp_ckpt)
     else:
+        model = CAVPModel()
         print("WARNING: random CAVP weights (no --cavp-ckpt)")
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 2, 224, 224, 3)),
@@ -58,7 +68,7 @@ def main(argv=None):
     for name in names:
         feat = extract_cavp_features(
             os.path.join(args.video_dir, name), encode, variables,
-            fps=args.fps, batch_size=args.batch_size,
+            fps=args.fps, batch_size=args.batch_size, size=args.frame_size,
         )
         key = os.path.splitext(name)[0]
         np.savez(os.path.join(args.out_dir, f"{key}.npz"), feat=feat)

@@ -38,7 +38,18 @@ def parse_args(argv=None):
     p.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms"])
     p.add_argument("--seed", type=int, default=21)  # notebook cell 9
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--frame-size", type=int, default=224,
+                   help="ingest resize (match the CAVP's training geometry)")
     return p.parse_args(argv)
+
+
+def _is_native(path) -> bool:
+    """A diff_foley_tpu training logdir (config.json + orbax ckpts) — each
+    --*-ckpt flag accepts either a reference torch checkpoint file or one of
+    these; the two checkpoint doors meet here."""
+    return bool(path) and os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "config.json")
+    )
 
 
 def main(argv=None):
@@ -62,22 +73,49 @@ def main(argv=None):
         )
 
     key = jax.random.PRNGKey(args.seed)
-    cfg = LDMConfig()
+
+    # --- LDM: native logdir > torch ckpt > random
+    vae_params = None
+    if _is_native(args.ldm_ckpt):
+        from ..utils.checkpoint import load_native_ldm
+
+        ldm, params, vae_params = load_native_ldm(args.ldm_ckpt)
+        if vae_params is None:
+            raise SystemExit(f"{args.ldm_ckpt}/vae holds no first-stage VAE")
+    else:
+        ldm = LatentDiffusion(LDMConfig())
+        if args.ldm_ckpt:
+            from ..utils.checkpoint import load_reference_ldm
+
+            params, vae_params = load_reference_ldm(args.ldm_ckpt, ldm)
+        else:
+            # jitted init: one compiled program, not thousands of
+            # relay-costly eager op dispatches
+            params = jax.jit(ldm.init_params)(jax.random.PRNGKey(args.seed + 1))
+            vae_params = jax.jit(ldm.init_vae_params)(
+                jax.random.PRNGKey(args.seed + 2)
+            )
     if args.bf16:
-        cfg = dataclasses.replace(cfg, unet=dataclasses.replace(cfg.unet, dtype="bfloat16"))
-    ldm = LatentDiffusion(cfg)
+        ldm = LatentDiffusion(dataclasses.replace(
+            ldm.cfg, unet=dataclasses.replace(ldm.cfg.unet, dtype="bfloat16")
+        ))
 
     # --- CAVP features
-    cavp = CAVPModel()
-    if args.cavp_ckpt:
-        from ..utils.checkpoint import load_reference_cavp
+    if _is_native(args.cavp_ckpt):
+        from ..utils.checkpoint import load_native_cavp
 
-        cavp_vars = load_reference_cavp(args.cavp_ckpt)
+        cavp, cavp_vars = load_native_cavp(args.cavp_ckpt)
     else:
-        cavp_vars = cavp.init(
-            key, jnp.zeros((1, 2, 224, 224, 3)), jnp.zeros((1, 128, 32)),
-            train=False,
-        )
+        cavp = CAVPModel()
+        if args.cavp_ckpt:
+            from ..utils.checkpoint import load_reference_cavp
+
+            cavp_vars = load_reference_cavp(args.cavp_ckpt)
+        else:
+            cavp_vars = cavp.init(
+                key, jnp.zeros((1, 2, 224, 224, 3)), jnp.zeros((1, 128, 32)),
+                train=False,
+            )
     encode = jax.jit(
         lambda v, x: cavp.apply(
             v, jnp.asarray(x),
@@ -87,33 +125,28 @@ def main(argv=None):
     feats = extract_cavp_features(
         args.video, encode, cavp_vars,
         start_second=args.start_second, truncate_second=args.truncate_second,
+        size=args.frame_size,
     )
     print(f"CAVP features: {feats.shape}")
 
-    # --- LDM + classifier params
-    if args.ldm_ckpt:
-        from ..utils.checkpoint import load_reference_ldm
-
-        params, vae_params = load_reference_ldm(args.ldm_ckpt, ldm)
-    else:
-        # jitted init: one compiled program, not thousands of relay-costly
-        # eager op dispatches
-        params = jax.jit(ldm.init_params)(jax.random.PRNGKey(args.seed + 1))
-        vae_params = jax.jit(ldm.init_vae_params)(
-            jax.random.PRNGKey(args.seed + 2)
-        )
     if args.bf16:
         params = {"unet": cast_floating(params["unet"]), "cond": params["cond"]}
 
     classifier = None
     if args.cg_scale > 0:
-        clf = ClassifierBackbone(CLASSIFIER_BACKBONE)
-        if args.classifier_ckpt:
+        if _is_native(args.classifier_ckpt):
+            from ..utils.checkpoint import load_native_classifier
+
+            trainer, cparams, _ = load_native_classifier(args.classifier_ckpt)
+            clf, clf_params = trainer.backbone, cparams["backbone"]
+        elif args.classifier_ckpt:
             from ..utils.checkpoint import load_reference_classifier
 
+            clf = ClassifierBackbone(CLASSIFIER_BACKBONE)
             cp = load_reference_classifier(args.classifier_ckpt)
             clf_params = cp["backbone"]
         else:
+            clf = ClassifierBackbone(CLASSIFIER_BACKBONE)
             clf_params = jax.jit(lambda k: clf.init(
                 k, jnp.zeros((1, 16, 64, 4)),
                 jnp.zeros((1,)), jnp.zeros((1, 40, 512)),

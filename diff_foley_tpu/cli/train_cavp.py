@@ -157,11 +157,19 @@ def main(argv=None):
         intra_weight=args.intra_weight, accum_freq=args.accum_freq,
         compute_dtype="bfloat16" if args.mixed_precision else None,
     )
+    video_shape = (1, 16, 16, 16, 3) if args.tiny else (1, 16, 224, 224, 3)
+    spec_shape = (1, 128, 256)
     state = init_train_state(
         model, jax.random.PRNGKey(args.seed), tcfg,
-        video_shape=(1, 16, 16, 16, 3) if args.tiny
-        else (1, 16, 224, 224, 3),
-        spec_shape=(1, 128, 256),
+        video_shape=video_shape, spec_shape=spec_shape,
+    )
+    from ..config import save_run_config
+
+    # self-describing logdir for load_native_cavp (init shapes recorded so
+    # input-geometry-dependent params, e.g. ViT pos-embeds, rebuild exactly)
+    save_run_config(
+        args.logdir, "stage1_cavp", model=model.cfg, train=tcfg,
+        init_video_shape=list(video_shape), init_spec_shape=list(spec_shape),
     )
     mgr = CheckpointManager(os.path.join(args.logdir, "ckpt"))
     if args.resume and mgr.latest_step() is not None:

@@ -51,18 +51,32 @@ def main(argv=None):
         from ..models.unet import UNetConfig
         from ..models.vae import AutoencoderKL, VAEConfig
 
+        # the same tiny system as train_stage2 --tiny: identical VAE
+        # downsampling (×8 → the latents this classifier scores are the
+        # latents that tiny LDM samples) and context_dim = the raw CAVP
+        # feature width, because the shipped guidance path feeds the
+        # backbone raw 512-d features (alignment_classifier.py:285-287
+        # quirk — see latent_diffusion.sample). A tiny classifier trained
+        # here therefore composes with a tiny LDM for double guidance.
         trainer = ClassifierTrainer(
             backbone_cfg=UNetConfig(
                 out_channels=1, model_channels=32, num_res_blocks=1,
                 channel_mult=(1, 2), attention_resolutions=(2,),
-                num_heads=4, context_dim=24,
+                num_heads=4, context_dim=512,
             ),
-            vae=AutoencoderKL(VAEConfig(ch=32, ch_mult=(1, 2),
+            vae=AutoencoderKL(VAEConfig(ch=32, ch_mult=(1, 2, 4, 4),
                                         num_res_blocks=1)),
             cfg=ClassifierTrainConfig(lr=args.lr),
         )
     else:
         trainer = ClassifierTrainer(cfg=ClassifierTrainConfig(lr=args.lr))
+    from ..config import save_run_config
+
+    save_run_config(
+        args.logdir, "classifier",
+        backbone=trainer.backbone.cfg, vae=trainer.vae.cfg, train=trainer.cfg,
+        cond_seq_len=trainer.cond_encoder.seq_len,
+    )
     if args.vae_ckpt:
         from ..utils.checkpoint import load_vae_checkpoint
         from ..models.vae import SD_VAE  # flagship AutoencoderKL config
@@ -87,6 +101,11 @@ def main(argv=None):
     )
 
     state = trainer.init_train_state(jax.random.PRNGKey(args.seed))
+    # persist the frozen VAE once: the classifier scores latents, so eval
+    # (align_acc) needs the SAME encoder this run trained against
+    vae_mgr = CheckpointManager(os.path.join(args.logdir, "vae"), max_to_keep=1)
+    if vae_mgr.latest_step() is None:
+        vae_mgr.save(0, vae_params)
     mgr = CheckpointManager(os.path.join(args.logdir, "ckpt"))
     if args.resume and mgr.latest_step() is not None:
         state = mgr.restore(state)

@@ -143,6 +143,16 @@ def main(argv=None):
     else:
         vae_params = ldm.init_vae_params(jax.random.PRNGKey(args.seed + 1))
 
+    from ..config import save_run_config
+
+    # self-describing logdir: config + the (frozen) first-stage VAE weights,
+    # so load_native_ldm can rebuild the full generative model from the
+    # logdir alone (the reference ships the VAE inside its composite ckpt)
+    save_run_config(args.logdir, "stage2_ldm", model=ldm.cfg, train=tcfg)
+    vae_mgr = CheckpointManager(os.path.join(args.logdir, "vae"), max_to_keep=1)
+    if vae_mgr.latest_step() is None:
+        vae_mgr.save(0, vae_params)
+
     mgr = CheckpointManager(os.path.join(args.logdir, "ckpt"))
     if args.resume and mgr.latest_step() is not None:
         state = mgr.restore(state)

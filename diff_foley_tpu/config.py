@@ -9,7 +9,11 @@ framework's typed dataclass configs instead of arbitrary import-by-string.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+import dataclasses
+import json
+import os
+import typing
+from typing import Any, Callable, Dict, Optional
 
 import yaml
 
@@ -18,6 +22,87 @@ from .models.unet import UNetConfig
 from .models.vae import VAEConfig
 
 _REGISTRY: Dict[str, Callable[..., Any]] = {}
+
+
+# --------------------------------------------------------------------------
+# dataclass-config (de)serialisation — makes training logdirs self-describing
+#
+# The reference reaches the same goal by copying the launch YAML into the
+# Lightning logdir (main.py writes cfg to logs/<name>/configs/); here the
+# typed config tree round-trips through JSON instead, so a native inference
+# loader can rebuild the exact model a checkpoint was trained with.
+# --------------------------------------------------------------------------
+
+def config_to_dict(cfg: Any) -> Dict:
+    """Frozen-dataclass config → JSON-safe dict (tuples become lists)."""
+    return dataclasses.asdict(cfg)
+
+
+def config_from_dict(cls, d: Dict):
+    """Inverse of config_to_dict: rebuild `cls` from a JSON dict, recursing
+    into dataclass-typed fields and restoring tuple-typed fields (JSON has
+    no tuple type)."""
+    hints = typing.get_type_hints(cls)
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        t = hints.get(f.name)
+        if v is None:
+            kwargs[f.name] = None
+            continue
+        origin = typing.get_origin(t)
+        if origin is typing.Union:  # Optional[T] → T
+            args = [a for a in typing.get_args(t) if a is not type(None)]
+            if len(args) == 1:
+                t = args[0]
+                origin = typing.get_origin(t)
+        if dataclasses.is_dataclass(t) and isinstance(v, dict):
+            v = config_from_dict(t, v)
+        elif isinstance(v, list) and not (t is list or origin is list):
+            # JSON has no tuple type; config sequences (tuple / Sequence
+            # annotations) are tuples in every dataclass here
+            v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+RUN_CONFIG = "config.json"
+
+
+def save_run_config(logdir: str, kind: str, **sections: Any) -> str:
+    """Write `{logdir}/config.json` describing a training run: `kind` names
+    the trainer family; each section is a config dataclass (serialised) or a
+    plain JSON value. Training CLIs call this so their logdirs are loadable
+    by the native inference loaders (utils/checkpoint.py::load_native_*)."""
+    payload: Dict[str, Any] = {"kind": kind}
+    for name, val in sections.items():
+        payload[name] = (
+            config_to_dict(val) if dataclasses.is_dataclass(val) else val
+        )
+    os.makedirs(logdir, exist_ok=True)
+    path = os.path.join(logdir, RUN_CONFIG)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+    return path
+
+
+def load_run_config(logdir: str, expect_kind: Optional[str] = None) -> Dict:
+    path = os.path.join(logdir, RUN_CONFIG)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{path} not found — this logdir predates run-config persistence "
+            "or is not a diff_foley_tpu training logdir; rebuild the model "
+            "explicitly and restore through CheckpointManager instead"
+        )
+    with open(path) as f:
+        meta = json.load(f)
+    if expect_kind is not None and meta.get("kind") != expect_kind:
+        raise ValueError(
+            f"{path}: kind={meta.get('kind')!r}, expected {expect_kind!r}"
+        )
+    return meta
 
 
 def register(*targets: str):

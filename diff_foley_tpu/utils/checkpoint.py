@@ -198,3 +198,114 @@ def load_reference_classifier(ckpt_path: str) -> Dict:
     if vae_sd:
         out["vae"] = convert_vae(vae_sd, SD_VAE)
     return jax.tree.map(lambda x: jax.numpy.asarray(x), out)
+
+
+# --------------------------------------------------------------------------
+# native training-logdir loaders: the framework's OWN checkpoints are
+# first-class for inference. Each training CLI writes config.json
+# (config.save_run_config) next to its orbax ckpt/ directory; these loaders
+# rebuild the exact model from that metadata and restore inference-ready
+# parameters (no optimizer state leaves the function). Reference analogue:
+# demo_util.py loads the released torch ckpts — this is the same door for
+# models trained here.
+# --------------------------------------------------------------------------
+
+def _restore_from(logdir: str, subdir: str, template: Any) -> Any:
+    mgr = CheckpointManager(os.path.join(logdir, subdir))
+    if mgr.latest_step() is None:
+        raise FileNotFoundError(f"no checkpoints under {logdir}/{subdir}")
+    return mgr.restore(template)
+
+
+def load_native_cavp(logdir: str):
+    """Stage-1 logdir → (CAVPModel, inference variables).
+
+    Variables carry the trained params plus BatchNorm running stats
+    (the towers' eval-mode statistics, CAVPTrainState.batch_stats).
+    """
+    from ..config import config_from_dict, load_run_config
+    from ..models.cavp.cavp import CAVPConfig, CAVPModel
+    from ..train.stage1_cavp import Stage1TrainConfig, init_train_state
+
+    meta = load_run_config(logdir, "stage1_cavp")
+    model = CAVPModel(config_from_dict(CAVPConfig, meta["model"]))
+    tcfg = config_from_dict(Stage1TrainConfig, meta["train"])
+    template = jax.eval_shape(
+        lambda k: init_train_state(
+            model, k, tcfg,
+            video_shape=tuple(meta["init_video_shape"]),
+            spec_shape=tuple(meta["init_spec_shape"]),
+        ),
+        jax.random.PRNGKey(0),
+    )
+    state = _restore_from(logdir, "ckpt", template)
+    return model, {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def load_native_ldm(logdir: str, prefer_ema: bool = True):
+    """Stage-2 logdir → (LatentDiffusion, {unet, cond} params, vae params).
+
+    `prefer_ema` returns the EMA shadow when the run trained one — the
+    reference samples with EMA weights (LitEma swap, ddpm.py:220-232).
+    The frozen first-stage VAE the run used is restored from `{logdir}/vae`
+    (written once by cli.train_stage2), so the logdir alone is sufficient
+    to generate.
+    """
+    from ..config import config_from_dict, load_run_config
+    from ..diffusion.latent_diffusion import LatentDiffusion, LDMConfig
+    from ..train.stage2_ldm import Stage2TrainConfig, init_train_state
+
+    meta = load_run_config(logdir, "stage2_ldm")
+    ldm = LatentDiffusion(config_from_dict(LDMConfig, meta["model"]))
+    tcfg = config_from_dict(Stage2TrainConfig, meta["train"])
+    template = jax.eval_shape(
+        lambda k: init_train_state(ldm, k, tcfg), jax.random.PRNGKey(0)
+    )
+    state = _restore_from(logdir, "ckpt", template)
+    params = (
+        state.ema.params if (prefer_ema and state.ema is not None)
+        else state.params
+    )
+    vae_dir = os.path.join(logdir, "vae")
+    vae_params = None
+    if os.path.isdir(vae_dir):
+        vae_template = jax.eval_shape(ldm.init_vae_params, jax.random.PRNGKey(0))
+        vae_params = _restore_from(logdir, "vae", vae_template)
+    return ldm, params, vae_params
+
+
+def load_native_classifier(logdir: str):
+    """Classifier logdir → (ClassifierTrainer, trained params, vae params).
+
+    `trainer.apply(params, z_noisy, t, video_feat)` is the align-acc /
+    eval surface; `(trainer.backbone.apply, params["backbone"])` is the
+    double-guidance pair the pipeline consumes (guidance feeds the backbone
+    raw CAVP features — the reference quirk, see latent_diffusion.sample).
+    The returned vae params are the frozen encoder this run scored latents
+    against (`{logdir}/vae`, written by cli.train_classifier) — align-acc
+    must encode with the same one; None for logdirs predating persistence.
+    """
+    from ..config import config_from_dict, load_run_config
+    from ..models.unet import UNetConfig
+    from ..models.vae import AutoencoderKL, VAEConfig
+    from ..train.classifier import ClassifierTrainConfig, ClassifierTrainer
+
+    meta = load_run_config(logdir, "classifier")
+    trainer = ClassifierTrainer(
+        backbone_cfg=config_from_dict(UNetConfig, meta["backbone"]),
+        vae=AutoencoderKL(config_from_dict(VAEConfig, meta["vae"])),
+        cfg=config_from_dict(ClassifierTrainConfig, meta["train"]),
+        cond_seq_len=meta["cond_seq_len"],
+    )
+    template = jax.eval_shape(trainer.init_train_state, jax.random.PRNGKey(0))
+    state = _restore_from(logdir, "ckpt", template)
+    vae_params = None
+    if os.path.isdir(os.path.join(logdir, "vae")):
+        import jax.numpy as jnp
+
+        vae_template = jax.eval_shape(
+            lambda k: trainer.vae.init(k, jnp.zeros((1, 128, 512, 3))),
+            jax.random.PRNGKey(0),
+        )
+        vae_params = _restore_from(logdir, "vae", vae_template)
+    return trainer, state.params, vae_params

@@ -1,4 +1,6 @@
 """Config loader vs the shipped reference YAMLs + eval utilities."""
+import json
+
 import numpy as np
 import pytest
 
@@ -49,3 +51,47 @@ def test_spec_transform_shapes_and_range():
     assert out.min() >= 0.0 and out.max() <= 1.0
     back = spec_22k80_to_16k128(out)
     assert back.shape[0] == 128
+
+
+def test_run_config_roundtrip(tmp_path):
+    """config_to_dict/config_from_dict + save/load_run_config: the JSON a
+    training CLI writes rebuilds the exact nested config tree (tuples and
+    Optional fields survive the JSON round trip)."""
+    from diff_foley_tpu.config import (
+        config_from_dict,
+        config_to_dict,
+        load_run_config,
+        save_run_config,
+    )
+    from diff_foley_tpu.diffusion.latent_diffusion import LDMConfig
+    from diff_foley_tpu.models.cavp.cavp import CAVPConfig
+    from diff_foley_tpu.models.unet import UNetConfig
+    from diff_foley_tpu.models.vae import VAEConfig
+    from diff_foley_tpu.train.stage1_cavp import Stage1TrainConfig
+
+    ldm_cfg = LDMConfig(
+        unet=UNetConfig(model_channels=32, channel_mult=(1, 2),
+                        attention_resolutions=(2,), context_dim=24),
+        vae=VAEConfig(ch=32, ch_mult=(1, 2, 4, 4), num_res_blocks=1),
+        cond_embed_dim=24,
+    )
+    assert config_from_dict(
+        LDMConfig, json.loads(json.dumps(config_to_dict(ldm_cfg)))
+    ) == ldm_cfg
+
+    cavp_cfg = CAVPConfig(video_stage_blocks=(1, 1, 1, 1),
+                          spec_channels=(8,) * 6, dtype=None)
+    assert config_from_dict(
+        CAVPConfig, json.loads(json.dumps(config_to_dict(cavp_cfg)))
+    ) == cavp_cfg
+
+    save_run_config(str(tmp_path), "stage1_cavp", model=cavp_cfg,
+                    train=Stage1TrainConfig(grad_clip=None),
+                    init_video_shape=[1, 16, 16, 16, 3])
+    meta = load_run_config(str(tmp_path), "stage1_cavp")
+    assert config_from_dict(CAVPConfig, meta["model"]) == cavp_cfg
+    assert meta["init_video_shape"] == [1, 16, 16, 16, 3]
+    with pytest.raises(ValueError):
+        load_run_config(str(tmp_path), "stage2_ldm")
+    with pytest.raises(FileNotFoundError):
+        load_run_config(str(tmp_path / "nope"))
