@@ -77,7 +77,16 @@ def main(argv=None):
         backbone=trainer.backbone.cfg, vae=trainer.vae.cfg, train=trainer.cfg,
         cond_seq_len=trainer.cond_encoder.seq_len,
     )
-    if args.vae_ckpt:
+    if args.vae_ckpt and os.path.isdir(args.vae_ckpt) and os.path.exists(
+        os.path.join(args.vae_ckpt, "config.json")
+    ):
+        # a cli.train_vae logdir: native first-stage weights (must match
+        # the latent geometry this classifier scores)
+        from ..utils.checkpoint import load_native_vae
+
+        _, vae_params = load_native_vae(args.vae_ckpt,
+                                        expect_cfg=trainer.vae.cfg)
+    elif args.vae_ckpt:
         from ..utils.checkpoint import load_vae_checkpoint
         from ..models.vae import SD_VAE  # flagship AutoencoderKL config
 

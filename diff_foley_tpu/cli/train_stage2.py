@@ -136,7 +136,14 @@ def main(argv=None):
     from ..utils.profiling import count_params
 
     count_params(state.params, verbose=True, name="LatentDiffusion")
-    if args.vae_ckpt:
+    if args.vae_ckpt and os.path.isdir(args.vae_ckpt) and os.path.exists(
+        os.path.join(args.vae_ckpt, "config.json")
+    ):
+        # a cli.train_vae logdir: native first-stage weights
+        from ..utils.checkpoint import load_native_vae
+
+        _, vae_params = load_native_vae(args.vae_ckpt, expect_cfg=ldm.cfg.vae)
+    elif args.vae_ckpt:
         from ..utils.checkpoint import load_vae_checkpoint
 
         vae_params = load_vae_checkpoint(args.vae_ckpt, ldm.cfg.vae)

@@ -184,3 +184,68 @@ class SpecFeatDataset:
             "spec": spec,
             "video_feat": feat,
         }
+
+
+class SpecDataset:
+    """Spec-only dataset for first-stage VAE training.
+
+    The reference trains its AutoencoderKL on mel-spec images alone
+    (autoencoder.py:341-404, driven by the autoencoder training YAMLs); the
+    loading/tiling/crop behaviour matches SpecFeatDataset minus the feature
+    stream. Always emits (128, T, 3) NHWC — the VAE consumes 3-channel
+    images (video_spec_dataset.py:184's ×3 tile).
+    """
+
+    def __init__(self, spec_paths: Sequence[str],
+                 cfg: LDMDataConfig = LDMDataConfig(), seed: int = 0):
+        self.spec_paths = list(spec_paths)
+        self.cfg = cfg
+        self.seed = seed
+        self._epoch = 0
+
+    @classmethod
+    def from_split_file(cls, data_dir: str, split: str,
+                        cfg: LDMDataConfig = LDMDataConfig(), **kw):
+        """Reference data layout (see SpecFeatDataset.from_split_file)."""
+        split_cap = {"train": "Train", "valid": "Test", "test": "Test"}[split]
+        with open(os.path.join(data_dir, f"{split_cap}.txt")) as f:
+            ids = [x.strip() for x in f if x.strip()]
+        specs = [
+            os.path.join(data_dir, split_cap, "audio_npy_spec", f"{i}_mel.npy")
+            for i in ids
+        ]
+        return cls(specs, cfg, **kw)
+
+    @classmethod
+    def from_dir(cls, spec_dir: str, cfg: LDMDataConfig = LDMDataConfig(),
+                 **kw):
+        """Flat directory of .npy mel specs (cli.preprocess_audio output)."""
+        specs = sorted(
+            os.path.join(spec_dir, f)
+            for f in os.listdir(spec_dir) if f.endswith(".npy")
+        )
+        if not specs:
+            raise FileNotFoundError(f"no .npy specs under {spec_dir}")
+        return cls(specs, cfg, **kw)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def __len__(self) -> int:
+        return len(self.spec_paths)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self._epoch, int(idx)])
+        )
+        spec = np.load(self.spec_paths[idx]).astype(np.float32)
+        spec_len = int(cfg.sr * cfg.duration / cfg.hop_len)
+        if spec.shape[1] < spec_len:
+            spec = np.tile(spec, math.ceil(spec_len / spec.shape[1]))
+        spec = spec[:, :spec_len]
+        spec_truncate = cfg.truncate // cfg.hop_len
+        hi = max(spec_len - spec_truncate, 0)
+        start = 0 if cfg.fix_frames or hi == 0 else int(rng.integers(0, hi))
+        spec = spec[:, start : start + spec_truncate]
+        return {"spec": np.repeat(spec[:, :, None], 3, axis=2)}

@@ -309,3 +309,34 @@ def load_native_classifier(logdir: str):
         )
         vae_params = _restore_from(logdir, "vae", vae_template)
     return trainer, state.params, vae_params
+
+
+def load_native_vae(logdir: str, expect_cfg=None):
+    """First-stage VAE training logdir (cli.train_vae) → (AutoencoderKL,
+    variables) ready for encode/decode_first_stage. `expect_cfg` (a
+    VAEConfig) asserts the trained geometry matches the model that will
+    consume it — the useful error beats a tree mismatch deep in restore.
+    """
+    from ..config import config_from_dict, load_run_config
+    from ..models.vae import AutoencoderKL, VAEConfig
+    from ..train.vae import VAETrainConfig, VAETrainer
+
+    meta = load_run_config(logdir, "vae")
+    vae_cfg = config_from_dict(VAEConfig, meta["model"])
+    if expect_cfg is not None and vae_cfg != expect_cfg:
+        raise ValueError(
+            f"{logdir} trained VAEConfig {vae_cfg}, but the consumer "
+            f"expects {expect_cfg} — latent geometries must match"
+        )
+    trainer = VAETrainer(
+        AutoencoderKL(vae_cfg),
+        cfg=config_from_dict(VAETrainConfig, meta["train"]),
+    )
+    template = jax.eval_shape(
+        lambda k: trainer.init_train_state(
+            k, sample_shape=tuple(meta["sample_shape"])
+        ),
+        jax.random.PRNGKey(0),
+    )
+    state = _restore_from(logdir, "ckpt", template)
+    return trainer.vae, state.params
