@@ -89,6 +89,12 @@ def main(argv=None):
         SoundVAEConfig(channels=args.channels, z_channels=args.z_channels,
                        enc_out_channels=2 * args.z_channels),
     )
+    from ..config import save_run_config
+
+    save_run_config(
+        args.logdir, "sound_vae", model=trainer.vae.cfg, train=trainer.cfg,
+        window=args.window,
+    )
     state = trainer.init_train_state(
         jax.random.PRNGKey(args.seed), n_samples=args.window
     )

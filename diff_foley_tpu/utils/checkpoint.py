@@ -340,3 +340,23 @@ def load_native_vae(logdir: str, expect_cfg=None):
     )
     state = _restore_from(logdir, "ckpt", template)
     return trainer.vae, state.params
+
+
+def load_native_sound_vae(logdir: str):
+    """Waveform-VAE logdir (cli.train_sound_vae) → (SoundAutoencoderKL,
+    variables) for encode/decode on 16 kHz waveforms."""
+    from ..config import config_from_dict, load_run_config
+    from ..models.sound_vae import SoundVAEConfig
+    from ..train.sound_gan import AudioGANConfig, SoundVAETrainer
+
+    meta = load_run_config(logdir, "sound_vae")
+    trainer = SoundVAETrainer(
+        config_from_dict(AudioGANConfig, meta["train"]),
+        config_from_dict(SoundVAEConfig, meta["model"]),
+    )
+    template = jax.eval_shape(
+        lambda k: trainer.init_train_state(k, n_samples=meta["window"]),
+        jax.random.PRNGKey(0),
+    )
+    state = _restore_from(logdir, "ckpt", template)
+    return trainer.vae, state.params

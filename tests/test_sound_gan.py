@@ -74,3 +74,11 @@ def test_sound_vae_cli_smoke(tmp_path):
         "--save-every", "2",
     ])
     assert (tmp_path / "logs" / "results.jsonl").exists()
+    # the logdir is a native checkpoint: restore and run the trained VAE
+    from diff_foley_tpu.utils.checkpoint import load_native_sound_vae
+
+    vae, variables = load_native_sound_vae(str(tmp_path / "logs"))
+    wav_in = jnp.asarray(rng.normal(size=(1, 65536, 1)), jnp.float32)
+    rec, _ = vae.apply(variables, wav_in, jax.random.PRNGKey(0))
+    assert rec.shape == wav_in.shape
+    assert np.isfinite(np.asarray(rec)).all()
