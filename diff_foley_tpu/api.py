@@ -83,30 +83,41 @@ class DiffFoley:
     def from_native_checkpoints(
         cls, cavp: str, ldm: str, classifier: Optional[str] = None,
         vae_ckpt: Optional[str] = None, bf16: bool = True,
-        frame_size: int = 224,
+        frame_size: Optional[int] = None,
     ) -> "DiffFoley":
         """Assemble the inference API from this framework's OWN training
         logdirs (cli.train_cavp / cli.train_stage2 / cli.train_classifier
         outputs) — the native twin of `from_checkpoints`. The LDM uses its
         EMA weights when the run trained them; the first-stage VAE comes
-        from the stage-2 logdir, or `vae_ckpt` (a torch checkpoint)
-        overrides it."""
+        from the stage-2 logdir, or `vae_ckpt` (a cli.train_vae logdir or a
+        torch checkpoint) overrides it. `frame_size` defaults to the ingest
+        geometry the CAVP was trained at (recorded in its config.json)."""
         from .utils.checkpoint import (
+            is_native_logdir,
             load_native_cavp,
             load_native_classifier,
             load_native_ldm,
+            load_native_vae,
             load_vae_checkpoint,
+            native_cavp_ingest_size,
         )
 
         ldm_model, params, vae_params = load_native_ldm(ldm)
         if vae_ckpt is not None:
-            vae_params = load_vae_checkpoint(vae_ckpt, ldm_model.cfg.vae)
+            if is_native_logdir(vae_ckpt):
+                _, vae_params = load_native_vae(
+                    vae_ckpt, expect_cfg=ldm_model.cfg.vae
+                )
+            else:
+                vae_params = load_vae_checkpoint(vae_ckpt, ldm_model.cfg.vae)
         if vae_params is None:
             raise FileNotFoundError(
                 f"{ldm}/vae holds no first-stage VAE weights (logdir predates "
                 "VAE persistence?) — pass vae_ckpt="
             )
         cavp_model, cavp_vars = load_native_cavp(cavp)
+        if frame_size is None:
+            frame_size = native_cavp_ingest_size(cavp)
         clf = None
         if classifier:
             trainer, cparams, _ = load_native_classifier(classifier)

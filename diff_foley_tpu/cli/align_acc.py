@@ -54,8 +54,9 @@ def main(argv=None):
     from ..eval.align_acc import alignment_accuracy
     from ..train.classifier import ClassifierTrainer
 
-    if args.classifier_ckpt and os.path.isdir(args.classifier_ckpt) and \
-            os.path.exists(os.path.join(args.classifier_ckpt, "config.json")):
+    from ..utils.checkpoint import is_native_logdir
+
+    if is_native_logdir(args.classifier_ckpt):
         # a diff_foley_tpu training logdir (cli.train_classifier output):
         # trainer config, params, and the frozen VAE all come from it
         from ..utils.checkpoint import load_native_classifier

@@ -25,8 +25,9 @@ def parse_args(argv=None):
     p.add_argument("--cavp-ckpt", default=None)
     p.add_argument("--fps", type=float, default=4.0)
     p.add_argument("--batch-size", type=int, default=40)
-    p.add_argument("--frame-size", type=int, default=224,
-                   help="ingest resize (match the CAVP's training geometry)")
+    p.add_argument("--frame-size", type=int, default=None,
+                   help="ingest resize; defaults to the geometry a native "
+                        "CAVP logdir was trained at, else 224")
     return p.parse_args(argv)
 
 
@@ -35,13 +36,15 @@ def main(argv=None):
     from ..models.cavp import CAVPModel
     from ..video.ingest import extract_cavp_features
 
-    if args.cavp_ckpt and os.path.isdir(args.cavp_ckpt) and os.path.exists(
-        os.path.join(args.cavp_ckpt, "config.json")
-    ):
+    from ..utils.checkpoint import is_native_logdir
+
+    if is_native_logdir(args.cavp_ckpt):
         # a diff_foley_tpu stage-1 training logdir
-        from ..utils.checkpoint import load_native_cavp
+        from ..utils.checkpoint import load_native_cavp, native_cavp_ingest_size
 
         model, variables = load_native_cavp(args.cavp_ckpt)
+        if args.frame_size is None:
+            args.frame_size = native_cavp_ingest_size(args.cavp_ckpt)
     elif args.cavp_ckpt:
         from ..utils.checkpoint import load_reference_cavp
 
@@ -68,7 +71,7 @@ def main(argv=None):
     for name in names:
         feat = extract_cavp_features(
             os.path.join(args.video_dir, name), encode, variables,
-            fps=args.fps, batch_size=args.batch_size, size=args.frame_size,
+            fps=args.fps, batch_size=args.batch_size, size=args.frame_size or 224,
         )
         key = os.path.splitext(name)[0]
         np.savez(os.path.join(args.out_dir, f"{key}.npz"), feat=feat)

@@ -38,18 +38,10 @@ def parse_args(argv=None):
     p.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms"])
     p.add_argument("--seed", type=int, default=21)  # notebook cell 9
     p.add_argument("--bf16", action="store_true")
-    p.add_argument("--frame-size", type=int, default=224,
-                   help="ingest resize (match the CAVP's training geometry)")
+    p.add_argument("--frame-size", type=int, default=None,
+                   help="ingest resize; defaults to the geometry a native "
+                        "CAVP logdir was trained at, else 224")
     return p.parse_args(argv)
-
-
-def _is_native(path) -> bool:
-    """A diff_foley_tpu training logdir (config.json + orbax ckpts) — each
-    --*-ckpt flag accepts either a reference torch checkpoint file or one of
-    these; the two checkpoint doors meet here."""
-    return bool(path) and os.path.isdir(path) and os.path.exists(
-        os.path.join(path, "config.json")
-    )
 
 
 def main(argv=None):
@@ -72,11 +64,13 @@ def main(argv=None):
             "provide --cavp-ckpt/--ldm-ckpt or pass --random-weights"
         )
 
+    from ..utils.checkpoint import is_native_logdir
+
     key = jax.random.PRNGKey(args.seed)
 
     # --- LDM: native logdir > torch ckpt > random
     vae_params = None
-    if _is_native(args.ldm_ckpt):
+    if is_native_logdir(args.ldm_ckpt):
         from ..utils.checkpoint import load_native_ldm
 
         ldm, params, vae_params = load_native_ldm(args.ldm_ckpt)
@@ -101,10 +95,12 @@ def main(argv=None):
         ))
 
     # --- CAVP features
-    if _is_native(args.cavp_ckpt):
-        from ..utils.checkpoint import load_native_cavp
+    if is_native_logdir(args.cavp_ckpt):
+        from ..utils.checkpoint import load_native_cavp, native_cavp_ingest_size
 
         cavp, cavp_vars = load_native_cavp(args.cavp_ckpt)
+        if args.frame_size is None:
+            args.frame_size = native_cavp_ingest_size(args.cavp_ckpt)
     else:
         cavp = CAVPModel()
         if args.cavp_ckpt:
@@ -125,7 +121,7 @@ def main(argv=None):
     feats = extract_cavp_features(
         args.video, encode, cavp_vars,
         start_second=args.start_second, truncate_second=args.truncate_second,
-        size=args.frame_size,
+        size=args.frame_size or 224,
     )
     print(f"CAVP features: {feats.shape}")
 
@@ -134,7 +130,7 @@ def main(argv=None):
 
     classifier = None
     if args.cg_scale > 0:
-        if _is_native(args.classifier_ckpt):
+        if is_native_logdir(args.classifier_ckpt):
             from ..utils.checkpoint import load_native_classifier
 
             trainer, cparams, _ = load_native_classifier(args.classifier_ckpt)

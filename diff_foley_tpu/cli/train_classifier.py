@@ -77,9 +77,9 @@ def main(argv=None):
         backbone=trainer.backbone.cfg, vae=trainer.vae.cfg, train=trainer.cfg,
         cond_seq_len=trainer.cond_encoder.seq_len,
     )
-    if args.vae_ckpt and os.path.isdir(args.vae_ckpt) and os.path.exists(
-        os.path.join(args.vae_ckpt, "config.json")
-    ):
+    from ..utils.checkpoint import is_native_logdir
+
+    if is_native_logdir(args.vae_ckpt):
         # a cli.train_vae logdir: native first-stage weights (must match
         # the latent geometry this classifier scores)
         from ..utils.checkpoint import load_native_vae
@@ -88,9 +88,10 @@ def main(argv=None):
                                         expect_cfg=trainer.vae.cfg)
     elif args.vae_ckpt:
         from ..utils.checkpoint import load_vae_checkpoint
-        from ..models.vae import SD_VAE  # flagship AutoencoderKL config
 
-        vae_params = load_vae_checkpoint(args.vae_ckpt, SD_VAE)
+        # convert against THIS trainer's VAE geometry (--tiny included),
+        # not a hardcoded flagship config
+        vae_params = load_vae_checkpoint(args.vae_ckpt, trainer.vae.cfg)
     else:
         import jax.numpy as jnp
 
@@ -108,6 +109,12 @@ def main(argv=None):
         process_index=jax.process_index(), process_count=jax.process_count(),
         seed=args.seed,
     )
+    if len(dataset) < args.batch_size * jax.process_count():
+        raise SystemExit(
+            f"dataset has {len(dataset)} items < global batch "
+            f"{args.batch_size * jax.process_count()} — the loader would "
+            "yield zero batches and the training loop would spin forever"
+        )
 
     state = trainer.init_train_state(jax.random.PRNGKey(args.seed))
     # persist the frozen VAE once: the classifier scores latents, so eval
@@ -115,6 +122,10 @@ def main(argv=None):
     vae_mgr = CheckpointManager(os.path.join(args.logdir, "vae"), max_to_keep=1)
     if vae_mgr.latest_step() is None:
         vae_mgr.save(0, vae_params)
+    elif not args.resume:
+        # fresh run in a reused logdir: refresh the persisted VAE (see
+        # train_stage2 — a stale first stage poisons native loads)
+        vae_mgr.save(vae_mgr.latest_step() + 1, vae_params)
     mgr = CheckpointManager(os.path.join(args.logdir, "ckpt"))
     if args.resume and mgr.latest_step() is not None:
         state = mgr.restore(state)

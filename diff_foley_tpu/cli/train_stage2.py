@@ -115,6 +115,12 @@ def main(argv=None):
         process_index=jax.process_index(), process_count=jax.process_count(),
         seed=args.seed,
     )
+    if len(dataset) < args.batch_size * jax.process_count():
+        raise SystemExit(
+            f"dataset has {len(dataset)} items < global batch "
+            f"{args.batch_size * jax.process_count()} — the loader would "
+            "yield zero batches and the training loop would spin forever"
+        )
     val_loader = None
     if args.val_every:
         try:
@@ -136,9 +142,9 @@ def main(argv=None):
     from ..utils.profiling import count_params
 
     count_params(state.params, verbose=True, name="LatentDiffusion")
-    if args.vae_ckpt and os.path.isdir(args.vae_ckpt) and os.path.exists(
-        os.path.join(args.vae_ckpt, "config.json")
-    ):
+    from ..utils.checkpoint import is_native_logdir
+
+    if is_native_logdir(args.vae_ckpt):
         # a cli.train_vae logdir: native first-stage weights
         from ..utils.checkpoint import load_native_vae
 
@@ -159,6 +165,11 @@ def main(argv=None):
     vae_mgr = CheckpointManager(os.path.join(args.logdir, "vae"), max_to_keep=1)
     if vae_mgr.latest_step() is None:
         vae_mgr.save(0, vae_params)
+    elif not args.resume:
+        # fresh run in a reused logdir: the persisted VAE must describe THIS
+        # run, not a previous one (a stale first stage silently corrupts
+        # every later native load); max_to_keep=1 prunes the old step
+        vae_mgr.save(vae_mgr.latest_step() + 1, vae_params)
 
     mgr = CheckpointManager(os.path.join(args.logdir, "ckpt"))
     if args.resume and mgr.latest_step() is not None:

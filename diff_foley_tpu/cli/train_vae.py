@@ -86,6 +86,12 @@ def main(argv=None):
         process_index=jax.process_index(), process_count=jax.process_count(),
         seed=args.seed,
     )
+    if len(dataset) < args.batch_size * jax.process_count():
+        raise SystemExit(
+            f"dataset has {len(dataset)} items < global batch "
+            f"{args.batch_size * jax.process_count()} — the loader would "
+            "yield zero batches and the training loop would spin forever"
+        )
 
     sample_shape = (1, 128, args.data_truncate // dcfg.hop_len, 3)
     save_run_config(

@@ -192,8 +192,9 @@ class SpecDataset:
     The reference trains its AutoencoderKL on mel-spec images alone
     (autoencoder.py:341-404, driven by the autoencoder training YAMLs); the
     loading/tiling/crop behaviour matches SpecFeatDataset minus the feature
-    stream. Always emits (128, T, 3) NHWC — the VAE consumes 3-channel
-    images (video_spec_dataset.py:184's ×3 tile).
+    stream. Emits (128, T, 3) NHWC by default (video_spec_dataset.py:184's
+    ×3 tile); cfg.tile_channels=False emits single-channel (128, T) for
+    consumers that tile on device.
     """
 
     def __init__(self, spec_paths: Sequence[str],
@@ -246,6 +247,11 @@ class SpecDataset:
         spec = spec[:, :spec_len]
         spec_truncate = cfg.truncate // cfg.hop_len
         hi = max(spec_len - spec_truncate, 0)
-        start = 0 if cfg.fix_frames or hi == 0 else int(rng.integers(0, hi))
+        # inclusive upper bound: the final valid offset is sampled too
+        # (matches SpecFeatDataset._single's rng.integers(0, hi + 1))
+        start = 0 if cfg.fix_frames or hi == 0 else int(
+            rng.integers(0, hi + 1))
         spec = spec[:, start : start + spec_truncate]
-        return {"spec": np.repeat(spec[:, :, None], 3, axis=2)}
+        if cfg.tile_channels:
+            spec = np.repeat(spec[:, :, None], 3, axis=2)
+        return {"spec": spec}

@@ -210,11 +210,27 @@ def load_reference_classifier(ckpt_path: str) -> Dict:
 # models trained here.
 # --------------------------------------------------------------------------
 
+def is_native_logdir(path) -> bool:
+    """True for a diff_foley_tpu training logdir (config.json + orbax
+    ckpts) — the single predicate every CLI uses to decide whether a
+    `--*-ckpt` argument is a native logdir or a torch checkpoint file."""
+    return bool(path) and os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "config.json")
+    )
+
+
 def _restore_from(logdir: str, subdir: str, template: Any) -> Any:
     mgr = CheckpointManager(os.path.join(logdir, subdir))
     if mgr.latest_step() is None:
         raise FileNotFoundError(f"no checkpoints under {logdir}/{subdir}")
     return mgr.restore(template)
+
+
+def _has_ckpt(logdir: str, subdir: str) -> bool:
+    """A checkpoint actually exists (an empty directory — e.g. a save that
+    died mid-write — counts as absent, not as an error)."""
+    d = os.path.join(logdir, subdir)
+    return os.path.isdir(d) and CheckpointManager(d).latest_step() is not None
 
 
 def load_native_cavp(logdir: str):
@@ -242,6 +258,18 @@ def load_native_cavp(logdir: str):
     return model, {"params": state.params, "batch_stats": state.batch_stats}
 
 
+def native_cavp_ingest_size(logdir: str, default: int = 224) -> int:
+    """Frame size the CAVP was trained at (from the recorded init video
+    shape) — the ingest resize every consumer should default to. Feeding a
+    tower frames at a geometry it never saw runs without error and silently
+    degrades features."""
+    from ..config import load_run_config
+
+    meta = load_run_config(logdir, "stage1_cavp")
+    shape = meta.get("init_video_shape")
+    return int(shape[2]) if shape else default
+
+
 def load_native_ldm(logdir: str, prefer_ema: bool = True):
     """Stage-2 logdir → (LatentDiffusion, {unet, cond} params, vae params).
 
@@ -266,9 +294,8 @@ def load_native_ldm(logdir: str, prefer_ema: bool = True):
         state.ema.params if (prefer_ema and state.ema is not None)
         else state.params
     )
-    vae_dir = os.path.join(logdir, "vae")
     vae_params = None
-    if os.path.isdir(vae_dir):
+    if _has_ckpt(logdir, "vae"):
         vae_template = jax.eval_shape(ldm.init_vae_params, jax.random.PRNGKey(0))
         vae_params = _restore_from(logdir, "vae", vae_template)
     return ldm, params, vae_params
@@ -300,7 +327,7 @@ def load_native_classifier(logdir: str):
     template = jax.eval_shape(trainer.init_train_state, jax.random.PRNGKey(0))
     state = _restore_from(logdir, "ckpt", template)
     vae_params = None
-    if os.path.isdir(os.path.join(logdir, "vae")):
+    if _has_ckpt(logdir, "vae"):
         import jax.numpy as jnp
 
         vae_template = jax.eval_shape(

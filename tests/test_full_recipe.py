@@ -166,8 +166,11 @@ def test_generate_and_align_acc_from_native_checkpoints(recipe):
 
     df = DiffFoley.from_native_checkpoints(
         cavp=recipe["cavp"], ldm=recipe["ldm"],
-        classifier=recipe["classifier"], bf16=False, frame_size=16,
+        classifier=recipe["classifier"], bf16=False,
     )
+    # frame_size defaults to the geometry the CAVP was trained at (recorded
+    # in its config.json — the --tiny towers saw 16×16 frames)
+    assert df.frame_size == 16
     feats = np.load(
         os.path.join(recipe["data"], "CAVP_feat", "Train", "v0.npz")
     )["feat"][:WINDOW_FEATS]
@@ -269,8 +272,10 @@ def test_extract_features_cli_accepts_native_logdir(recipe, tmp_path):
 
     from diff_foley_tpu.cli.extract_features import main
 
+    # no --frame-size: the CLI reads the trained geometry (16) from the
+    # logdir's config.json
     main(["--video-dir", str(video_dir), "--out-dir", str(out_dir),
-          "--cavp-ckpt", recipe["cavp"], "--frame-size", "16"])
+          "--cavp-ckpt", recipe["cavp"]])
     feat = np.load(out_dir / "clip.npz")["feat"]
     assert feat.shape[-1] == 512 and np.isfinite(feat).all()
     # L2-normalised per-frame features (encode_video(normalize=True))
@@ -321,6 +326,21 @@ def test_train_vae_cli_and_native_vae_into_stage2(recipe, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(vae_params),
                     jax.tree_util.tree_leaves(persisted)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # fresh (non-resume) re-run in the SAME logdir with a different first
+    # stage: the persisted VAE must be refreshed, not silently kept stale
+    train_stage2([
+        "--data-dir", str(recipe["data"]), "--logdir", ldm2_dir, "--tiny",
+        "--batch-size", "8", "--max-steps", "2",
+        "--save-every", "2", "--log-every", "1", "--warmup-steps", "1",
+        "--data-duration", "8.192", "--data-truncate", "131072",
+    ])
+    _, _, refreshed = load_native_ldm(ldm2_dir)
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(vae_params),
+                        jax.tree_util.tree_leaves(refreshed))
+    ), "persisted VAE should track the new run, not the previous one"
 
 
 def test_native_vae_geometry_mismatch_is_loud(recipe, tmp_path):
