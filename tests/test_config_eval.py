@@ -95,3 +95,41 @@ def test_run_config_roundtrip(tmp_path):
         load_run_config(str(tmp_path), "stage2_ldm")
     with pytest.raises(FileNotFoundError):
         load_run_config(str(tmp_path / "nope"))
+
+
+def test_transform_spec_cli_folder_split(tmp_path):
+    """The batch CLI mirrors the reference's folder walk + node sharding
+    (transform_spec.py:93-130): node k of `split` converts a contiguous
+    chunk; the union over nodes covers every file exactly once."""
+    from diff_foley_tpu.cli import transform_spec as cli
+
+    rng = np.random.default_rng(1)
+    src = tmp_path / "gen"
+    src.mkdir()
+    for i in range(5):
+        np.save(src / f"clip_{i}.npy",
+                rng.uniform(0.2, 0.8, size=(128, 64)).astype(np.float32))
+    (src / "notes.txt").write_text("ignored")  # non-npy files are skipped
+
+    out = tmp_path / "conv"
+    for node in range(2):
+        rc = cli.main(["--input", str(src), "--output", str(out),
+                       "--split", "2", "--node", str(node)])
+        assert rc == 0
+    names = sorted(p.name for p in out.glob("*.npy"))
+    assert names == [f"clip_{i}.npy" for i in range(5)]
+    converted = np.load(out / "clip_0.npy")
+    ref = spec_16k128_to_22k80(np.load(src / "clip_0.npy"))
+    np.testing.assert_allclose(converted, ref, atol=0)
+    assert converted.shape[0] == 80
+
+    # inverse direction lands back on the native geometry
+    back = tmp_path / "back"
+    rc = cli.main(["--input", str(out), "--output", str(back),
+                   "--direction", "to_native"])
+    assert rc == 0
+    assert np.load(back / "clip_0.npy").shape[0] == 128
+
+    with pytest.raises(SystemExit):
+        cli.main(["--input", str(src), "--output", str(out),
+                  "--split", "2", "--node", "2"])
