@@ -70,10 +70,22 @@ def main(argv=None):
     ]
 
     if args.workers > 0 and len(jobs) > 1:
-        from concurrent.futures import ProcessPoolExecutor
+        # submit+as_completed rather than pool.map: if a worker process dies
+        # (e.g. OOM on a huge .npy), map() raises BrokenProcessPool and loses
+        # the whole per-file report; here the dead job becomes one failure
+        # tuple and the rest of the report survives.
+        from concurrent.futures import ProcessPoolExecutor, as_completed
 
+        results = []
         with ProcessPoolExecutor(max_workers=args.workers) as pool:
-            results = list(pool.map(_convert_one, jobs))
+            futs = {pool.submit(_convert_one, j): j for j in jobs}
+            for fut in as_completed(futs):
+                try:
+                    results.append(fut.result())
+                except Exception as e:
+                    results.append(
+                        (os.path.basename(futs[fut][0]), False, f"worker died: {e}")
+                    )
     else:
         results = [_convert_one(j) for j in jobs]
 

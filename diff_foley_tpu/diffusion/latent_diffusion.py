@@ -23,7 +23,13 @@ from ..models.cond_encoder import VideoFeatEncoderPosembed
 from ..models.unet import UNetConfig, UNetModel, LDM_UNET
 from ..models.vae import SD_VAE, AutoencoderKL, VAEConfig
 from .guidance import GuidanceSpec, make_guided_eps_fn
-from .samplers import ddim_sample, dpm_solver_sample, plms_sample
+from .samplers import (
+    ddim_sample,
+    dpm_solver_sample,
+    p_sample_loop,
+    plms_sample,
+    progressive_denoising,
+)
 from .schedule import DiffusionSchedule
 
 Params = Any
@@ -217,6 +223,12 @@ class LatentDiffusion:
         Mirrors sample_log_diff_sampler / sample_log_with_classifier_diff_sampler
         (ddpm.py:1288-1356): zeros null-embedding for CFG, DPM-Solver++ 2M
         default at 25 steps, optional alignment-classifier double guidance.
+
+        sampler='ancestral' runs the full-chain DDPM posterior loop
+        (p_sample_loop, ddpm.py:1205-1253); 'ddim' and 'ancestral' both
+        accept the reference latent-surface kwargs (mask/x0 inpainting,
+        noise_dropout, score_corrector, timesteps/start_T …) via
+        **solver_kwargs.
         """
         b = video_feat.shape[0]
         context = self.get_learned_conditioning(params, video_feat)
@@ -266,6 +278,19 @@ class LatentDiffusion:
         if sampler == "ddim":
             return ddim_sample(
                 eps_fn, self.schedule, x_T, k_samp, steps=steps, **solver_kwargs
+            )
+        if sampler in ("ancestral", "ddpm"):
+            # full-chain ancestral sampling (p_sample_loop); `steps` is the
+            # DDIM/DPM NFE budget and does not apply here — chain length is
+            # schedule.num_timesteps unless timesteps/start_T truncate it
+            return p_sample_loop(
+                eps_fn, self.schedule, x_T, k_samp, **solver_kwargs
+            )
+        if sampler == "progressive":
+            # progressive denoising (ddpm.py:1146-1203): returns
+            # (latents, per-log-step x0 predictions)
+            return progressive_denoising(
+                eps_fn, self.schedule, x_T, k_samp, **solver_kwargs
             )
         if sampler == "plms":
             if solver_kwargs:

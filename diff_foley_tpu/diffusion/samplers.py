@@ -47,11 +47,32 @@ def ddim_sample(
     eta: float = 0.0,
     temperature: float = 1.0,
     discr_method: str = "uniform",
+    mask: Optional[jnp.ndarray] = None,
+    x0: Optional[jnp.ndarray] = None,
+    mask_noise: Optional[jnp.ndarray] = None,
+    noise_dropout: float = 0.0,
+    score_corrector=None,
+    denoised_fn=None,
 ) -> jnp.ndarray:
     """DDIM sampling loop (ddim.py:232-316 / 345-396).
 
     Classifier-grad scale per step is √(1−ᾱ_t) (ddim.py:368,380).
     discr_method: 'uniform' or 'quad' timestep spacing (util.py:46-53).
+
+    Latent surface hooks of the reference loop:
+    - ``mask``/``x0`` inpainting (ddim.py:210-213): before each model call the
+      known region is re-imposed as ``q_sample(x0, t)·mask + (1−mask)·x`` —
+      mask=1 marks KNOWN pixels kept from x0, mask=0 regions are generated.
+      ``mask_noise`` optionally fixes the forward-diffusion noise: an array of
+      shape (steps, *x.shape) used per step (deterministic forward pass — the
+      reference's own "TODO" at ddim.py:211), else fresh noise per step.
+    - ``noise_dropout`` (ddim.py:234-236): train-mode dropout on the η-noise
+      (zero with prob p, rescale 1/(1−p)) — only meaningful when eta > 0.
+    - ``score_corrector(e_t, x, t_vec) -> e_t`` (ddim.py:246-248): post-CFG
+      ε-correction hook (modify_score semantics).
+    - ``denoised_fn(pred_x0) -> pred_x0``: per-step x₀ hook, the generic form
+      of the reference's quantize_denoised (its VQ first stage is dead code —
+      NameError by construction — so only the hook shape is kept).
     """
     ac = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
     ts = make_ddim_timesteps(discr_method, steps, schedule.num_timesteps)
@@ -59,31 +80,58 @@ def ddim_sample(
     sigmas, alphas, alphas_prev = make_ddim_sampling_parameters(ac, ts, eta)
     sqrt_one_minus = np.sqrt(1.0 - alphas)
 
+    if mask is not None:
+        assert x0 is not None, "mask inpainting needs x0 (ddim.py:210)"
+
     # iterate reversed (T→0)
     order = slice(None, None, -1)
     tbl = dict(
         t=jnp.asarray(ts[order], jnp.float32),
+        ti=jnp.asarray(ts[order], jnp.int32),
         a=jnp.asarray(alphas[order], jnp.float32),
         a_prev=jnp.asarray(alphas_prev[order], jnp.float32),
         sigma=jnp.asarray(sigmas[order], jnp.float32),
         s1ma=jnp.asarray(sqrt_one_minus[order], jnp.float32),
     )
     keys = jax.random.split(key, steps)
+    xs = (tbl, keys, mask_noise) if mask_noise is not None else (tbl, keys)
 
     def step(x, per_step):
-        c, k = per_step
+        if mask_noise is not None:
+            c, k, q_noise = per_step
+        else:
+            c, k = per_step
+            q_noise = None
         b = x.shape[0]
         t_vec = jnp.full((b,), c["t"], x.dtype)
+        if mask is not None:
+            # re-impose the known region at this noise level (ddim.py:210-213)
+            if q_noise is None:
+                q_noise = jax.random.normal(
+                    jax.random.fold_in(k, 1), x0.shape, x0.dtype
+                )
+            ti_vec = jnp.full((b,), c["ti"], jnp.int32)
+            x_orig = schedule.q_sample(x0, ti_vec, q_noise)
+            x = (x_orig * mask + (1.0 - mask) * x).astype(x.dtype)
         e_t = eps_fn(x, t_vec, c["s1ma"])
+        if score_corrector is not None:
+            e_t = score_corrector(e_t, x, t_vec)
         pred_x0 = (x - c["s1ma"] * e_t) / jnp.sqrt(c["a"])
+        if denoised_fn is not None:
+            pred_x0 = denoised_fn(pred_x0)
         dir_xt = jnp.sqrt(1.0 - c["a_prev"] - c["sigma"] ** 2) * e_t
         noise = c["sigma"] * jax.random.normal(k, x.shape, x.dtype) * temperature
+        if noise_dropout > 0.0:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(k, 2), 1.0 - noise_dropout, x.shape
+            )
+            noise = noise * keep / (1.0 - noise_dropout)
         # cast back: the fp32 table scalars would otherwise promote a bf16
         # carry and break the scan's carry-dtype invariance
         x_new = jnp.sqrt(c["a_prev"]) * pred_x0 + dir_xt + noise
         return x_new.astype(x.dtype), None
 
-    x, _ = jax.lax.scan(step, x_T, (tbl, keys))
+    x, _ = jax.lax.scan(step, x_T, xs)
     return x
 
 
@@ -142,6 +190,216 @@ def ddim_decode(
 
     x, _ = jax.lax.scan(step, x_latent, tbl)
     return x
+
+
+# --------------------------------------------------------------------------
+# Ancestral DDPM sampling + progressive denoising
+# --------------------------------------------------------------------------
+
+def _ancestral_scan(
+    eps_fn: EpsFn,
+    schedule: DiffusionSchedule,
+    x_T: jnp.ndarray,
+    key: jax.Array,
+    *,
+    num_steps: int,
+    collect: str,  # 'x' (p_sample_loop) | 'x0' (progressive_denoising) | ''
+    clip_denoised: bool,
+    temperature,
+    noise_dropout: float,
+    mask, x0, mask_noise,
+    log_every_t: int,
+    score_corrector, denoised_fn,
+):
+    """Shared body of p_sample_loop / progressive_denoising: one `lax.scan`
+    over descending timesteps t = num_steps−1 … 0, each step an ancestral
+    posterior draw (ddpm.py:1065-1145 p_mean_variance + p_sample).
+
+    Intermediates are collected into a preallocated buffer via per-step
+    scatter writes at host-precomputed slots — static shapes, no python
+    appends inside the compiled loop.
+    """
+    T = num_steps
+    b = x_T.shape[0]
+    ts_desc = np.arange(T - 1, -1, -1)
+
+    # host-side: which iterations log, and into which slot. The reference's
+    # condition is on the timestep VALUE: `i % log_every_t == 0 or
+    # i == timesteps - 1` with i the descending t (ddpm.py:1249) — so the
+    # first iteration (t = T−1) always logs.
+    logged = [(int(t) == T - 1) or (int(t) % log_every_t == 0)
+              for t in ts_desc]
+    slots = np.zeros(T, np.int32)
+    base = 1 if collect == "x" else 0  # p_sample_loop pre-seeds [x_T]
+    nxt = base
+    for i, lg in enumerate(logged):
+        if lg:
+            slots[i] = nxt
+            nxt += 1
+    n_slots = nxt
+
+    if isinstance(temperature, (int, float)):
+        temp_by_t = np.full(T, float(temperature))
+    else:
+        temp_by_t = np.asarray(temperature, np.float64)[:T]
+    # scan order is descending t, so index the per-t tables accordingly
+    tbl = dict(
+        t=jnp.asarray(ts_desc, jnp.int32),
+        temp=jnp.asarray(temp_by_t[ts_desc], jnp.float32),
+        s1ma=jnp.take(
+            schedule.sqrt_one_minus_alphas_cumprod, jnp.asarray(ts_desc)
+        ),
+        do_log=jnp.asarray(logged, jnp.bool_),
+        slot=jnp.asarray(slots, jnp.int32),
+    )
+    keys = jax.random.split(key, T)
+    xs = (tbl, keys, mask_noise) if mask_noise is not None else (tbl, keys)
+
+    inter0 = (
+        jnp.zeros((n_slots, *x_T.shape), x_T.dtype)
+        if collect
+        else jnp.zeros((0,), x_T.dtype)
+    )
+    if collect == "x":
+        inter0 = inter0.at[0].set(x_T)
+
+    def step(carry, per_step):
+        x, inter = carry
+        if mask_noise is not None:
+            c, k, q_noise = per_step
+        else:
+            c, k = per_step
+            q_noise = None
+        t_vec = jnp.full((b,), c["t"], jnp.int32)
+        eps = eps_fn(x, t_vec.astype(x.dtype), c["s1ma"])
+        if score_corrector is not None:
+            eps = score_corrector(eps, x, t_vec)
+        x_recon = schedule.predict_start_from_noise(x, t_vec, eps)
+        if clip_denoised:
+            x_recon = jnp.clip(x_recon, -1.0, 1.0)
+        if denoised_fn is not None:
+            x_recon = denoised_fn(x_recon)
+        mean, _, log_var = schedule.q_posterior(x_recon, x, t_vec)
+        noise = jax.random.normal(k, x.shape, x.dtype) * c["temp"]
+        if noise_dropout > 0.0:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(k, 2), 1.0 - noise_dropout, x.shape
+            )
+            noise = noise * keep / (1.0 - noise_dropout)
+        nonzero = (c["t"] != 0).astype(x.dtype)  # no noise at t=0
+        x_new = mean + nonzero * jnp.exp(0.5 * log_var) * noise
+        if mask is not None:
+            # blend AFTER the posterior step (ddpm.py:1196-1198, 1246-1248 —
+            # note the DDIM loop blends BEFORE its update instead)
+            if q_noise is None:
+                q_noise = jax.random.normal(
+                    jax.random.fold_in(k, 1), x0.shape, x0.dtype
+                )
+            x_orig = schedule.q_sample(x0, t_vec, q_noise)
+            x_new = x_orig * mask + (1.0 - mask) * x_new
+        x_new = x_new.astype(x.dtype)
+        if collect:
+            val = x_new if collect == "x" else x_recon.astype(x.dtype)
+            cur = inter[c["slot"]]
+            inter = inter.at[c["slot"]].set(jnp.where(c["do_log"], val, cur))
+        return (x_new, inter), None
+
+    (x, inter), _ = jax.lax.scan(step, (x_T, inter0), xs)
+    return x, inter
+
+
+def p_sample_loop(
+    eps_fn: EpsFn,
+    schedule: DiffusionSchedule,
+    x_T: jnp.ndarray,
+    key: jax.Array,
+    *,
+    timesteps: Optional[int] = None,
+    start_T: Optional[int] = None,
+    clip_denoised: bool = False,
+    temperature: float = 1.0,
+    noise_dropout: float = 0.0,
+    mask: Optional[jnp.ndarray] = None,
+    x0: Optional[jnp.ndarray] = None,
+    mask_noise: Optional[jnp.ndarray] = None,
+    log_every_t: int = 100,
+    return_intermediates: bool = False,
+    score_corrector=None,
+    denoised_fn=None,
+):
+    """Ancestral DDPM sampling (ddpm.py:1205-1253 LatentDiffusion.p_sample_loop
+    / ddpm.py:249-270 base loop) as one compiled scan.
+
+    Per step t = T−1 … 0: ε-model → predict x₀ (optional [-1,1] clip) →
+    posterior q(x_{t−1}|x_t,x₀) mean + exp(½·logvar)·noise draw (no noise at
+    t=0), then the optional mask/x0 known-region re-blend. `timesteps`/
+    `start_T` truncate the chain (both reference kwargs); intermediates are
+    the running x at every `log_every_t` (plus the first step), seeded with
+    x_T — exactly the reference's list. `temperature` may be a scalar or a
+    per-timestep array (indexed by t); the base reference loop fixes it at 1.
+
+    clip_denoised defaults False — LatentDiffusion sets it so (ddpm.py:520);
+    the pixel-space DDPM base class defaults True.
+
+    Returns x, or (x, intermediates) when return_intermediates.
+    """
+    T = schedule.num_timesteps if timesteps is None else int(timesteps)
+    if start_T is not None:
+        T = min(T, int(start_T))
+    if mask is not None:
+        assert x0 is not None, "mask inpainting needs x0 (ddpm.py:1230)"
+    x, inter = _ancestral_scan(
+        eps_fn, schedule, x_T, key, num_steps=T,
+        collect="x" if return_intermediates else "",
+        clip_denoised=clip_denoised, temperature=temperature,
+        noise_dropout=noise_dropout, mask=mask, x0=x0, mask_noise=mask_noise,
+        log_every_t=log_every_t, score_corrector=score_corrector,
+        denoised_fn=denoised_fn,
+    )
+    if return_intermediates:
+        return x, inter
+    return x
+
+
+def progressive_denoising(
+    eps_fn: EpsFn,
+    schedule: DiffusionSchedule,
+    x_T: jnp.ndarray,
+    key: jax.Array,
+    *,
+    timesteps: Optional[int] = None,
+    start_T: Optional[int] = None,
+    clip_denoised: bool = False,
+    temperature=1.0,
+    noise_dropout: float = 0.0,
+    mask: Optional[jnp.ndarray] = None,
+    x0: Optional[jnp.ndarray] = None,
+    mask_noise: Optional[jnp.ndarray] = None,
+    log_every_t: int = 100,
+    score_corrector=None,
+    denoised_fn=None,
+):
+    """Progressive denoising (ddpm.py:1146-1203): the ancestral chain that
+    collects the per-step x₀ PREDICTIONS (return_x0=True) instead of the
+    running sample — the "how the estimate sharpens over t" diagnostic row
+    the reference renders in its loggers.
+
+    Returns (x, x0_partials) where x0_partials stacks the predicted x₀ at
+    every `log_every_t` (plus the first step); unlike p_sample_loop the list
+    is NOT seeded with x_T (ddpm.py:1163).
+    """
+    T = schedule.num_timesteps if timesteps is None else int(timesteps)
+    if start_T is not None:
+        T = min(T, int(start_T))
+    if mask is not None:
+        assert x0 is not None, "mask inpainting needs x0 (ddpm.py:1195)"
+    return _ancestral_scan(
+        eps_fn, schedule, x_T, key, num_steps=T, collect="x0",
+        clip_denoised=clip_denoised, temperature=temperature,
+        noise_dropout=noise_dropout, mask=mask, x0=x0, mask_noise=mask_noise,
+        log_every_t=log_every_t, score_corrector=score_corrector,
+        denoised_fn=denoised_fn,
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1,4 +1,10 @@
-"""Alignment-classifier trainer: BCE learns aligned/misaligned separation."""
+"""Alignment-classifier trainer plumbing: the BCE train step runs, yields
+finite loss/metrics, and advances state on random data.
+
+This is a wiring smoke test only — it does NOT prove learning. The learning
+proof (held-out accuracy >> 0.5 chance on a learnable synthetic AV task)
+lives in tests/test_learning_quality.py.
+"""
 import jax
 import jax.numpy as jnp
 import numpy as np
