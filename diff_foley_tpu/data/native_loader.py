@@ -129,8 +129,19 @@ def iter_shards_native(
     cfg=None,
     n_threads: int = 4,
     shuffle_buffer: int = 256,
+    decode_workers: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Native-IO version of data.cavp_shards.iter_shards (same output).
+
+    `decode_workers > 0` pipelines the JPEG/npy decode + crop across a
+    thread pool (cv2.imdecode releases the GIL): the C++ reader streams
+    raw bytes, the pool decodes up to 2×workers samples ahead. The sample
+    MULTISET and every per-sample crop stay deterministic (crops are keyed
+    on (seed, epoch, key)); emission order is arrival-order-dependent
+    either way — C++ reader threads already deliver nondeterministically.
+    This is the knob that matters for feeding a training step:
+    single-threaded decode of 224² strips tops out well below the device's
+    clip rate (see bench.py stage-1 fed bench).
 
     Falls back to the pure-python tarfile path (with a warning) when the
     shared library can't be built — e.g. no compiler on the host."""
@@ -174,6 +185,28 @@ def iter_shards_native(
         return decode_sample(
             spec_bytes, video_bytes, sample_rng(seed, epoch, key), cfg
         )
+
+    if decode_workers > 0:
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending = collections.deque()
+        with NativeShardReader(mine, n_threads=n_threads) as reader, \
+                ThreadPoolExecutor(decode_workers) as pool:
+            for key, spec_bytes, video_bytes in reader:
+                buf.append((key, bytes(spec_bytes), bytes(video_bytes)))
+                if len(buf) >= shuffle_buffer:
+                    pending.append(pool.submit(
+                        _decode, buf.pop(int(rng.integers(0, len(buf))))
+                    ))
+                    while len(pending) > 2 * decode_workers:
+                        yield pending.popleft().result()
+            rng.shuffle(buf)
+            for item in buf:
+                pending.append(pool.submit(_decode, item))
+            while pending:
+                yield pending.popleft().result()
+        return
 
     with NativeShardReader(mine, n_threads=n_threads) as reader:
         for key, spec_bytes, video_bytes in reader:
