@@ -84,6 +84,7 @@ class DiffFoley:
         cls, cavp: str, ldm: str, classifier: Optional[str] = None,
         vae_ckpt: Optional[str] = None, bf16: bool = True,
         frame_size: Optional[int] = None,
+        classifier_context: str = "raw",
     ) -> "DiffFoley":
         """Assemble the inference API from this framework's OWN training
         logdirs (cli.train_cavp / cli.train_stage2 / cli.train_classifier
@@ -91,7 +92,17 @@ class DiffFoley:
         EMA weights when the run trained them; the first-stage VAE comes
         from the stage-2 logdir, or `vae_ckpt` (a cli.train_vae logdir or a
         torch checkpoint) overrides it. `frame_size` defaults to the ingest
-        geometry the CAVP was trained at (recorded in its config.json)."""
+        geometry the CAVP was trained at (recorded in its config.json).
+
+        `classifier_context` picks what the guidance classifier sees as
+        cross-attention context: "raw" feeds the raw 512-d CAVP features —
+        the reference's shipped behaviour (alignment_classifier.py:285-287
+        forward vs :234-235 training, a train/inference mismatch the
+        reference carries); "encoded" routes them through the classifier's
+        own trained cond encoder — the distribution it actually trained on
+        (measured on the toy quality gate: raw guidance DEGRADES align-acc
+        below unguided, encoded guidance lifts it well above —
+        QUALITY_r04.json trained_on_chip)."""
         from .utils.checkpoint import (
             is_native_logdir,
             load_native_cavp,
@@ -121,7 +132,20 @@ class DiffFoley:
         clf = None
         if classifier:
             trainer, cparams, _ = load_native_classifier(classifier)
-            clf = (trainer.backbone.apply, cparams["backbone"])
+            if classifier_context == "encoded":
+                def clf_apply(cp, x, t, feat, return_logits=False,
+                              _trainer=trainer):
+                    ctx = _trainer.cond_encoder.apply(cp["cond"], feat)
+                    return _trainer.backbone.apply(
+                        cp["backbone"], x, t, ctx, return_logits=return_logits)
+
+                clf = (clf_apply, cparams)
+            elif classifier_context == "raw":
+                clf = (trainer.backbone.apply, cparams["backbone"])
+            else:
+                raise ValueError(
+                    f"classifier_context must be 'raw' or 'encoded', "
+                    f"got {classifier_context!r}")
         return cls(ldm_model, params, vae_params, cavp_model, cavp_vars, clf,
                    bf16=bf16, frame_size=frame_size)
 

@@ -84,9 +84,19 @@ class ClassifierTrainer:
     def make_train_step(self, vae_params):
         def loss_fn(params, batch, rng):
             k_enc, k_t, k_noise = jax.random.split(rng, 3)
-            z = self.vae.apply(
-                vae_params, batch["spec"], method=lambda m, a: m.encode(a)
-            ).sample(k_enc)
+            if "z_mu" in batch:
+                # pre-encoded posterior moments: the frozen VAE makes the
+                # encode a per-item constant, so callers may cache
+                # (mu, sigma) once and draw the SAME posterior sample the
+                # spec path would — removes the per-step VAE forward, the
+                # hot-loop cost for small backbones (device-resident
+                # training, train/scan.py)
+                eps = jax.random.normal(k_enc, batch["z_mu"].shape)
+                z = batch["z_mu"] + batch["z_sigma"] * eps
+            else:
+                z = self.vae.apply(
+                    vae_params, batch["spec"], method=lambda m, a: m.encode(a)
+                ).sample(k_enc)
             z = jax.lax.stop_gradient(self.cfg.scale_factor * z)
             b = z.shape[0]
             t = jax.random.randint(k_t, (b,), 0, self.schedule.num_timesteps)

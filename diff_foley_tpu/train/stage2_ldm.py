@@ -98,6 +98,21 @@ def make_train_step(
 
     def loss_fn(params, vae_params, batch, rng):
         k_enc, k_loss = jax.random.split(rng)
+        if "z_mu" in batch:
+            # pre-encoded posterior moments (see train/classifier.py): the
+            # frozen first stage makes encode a per-item constant; drawing
+            # z = mu + sigma*eps here is the same posterior sample the spec
+            # path takes, without the per-step VAE forward
+            eps = jax.random.normal(k_enc, batch["z_mu"].shape)
+            z = ldm.cfg.scale_factor * (batch["z_mu"] + batch["z_sigma"] * eps)
+            if mixed:
+                from ..utils.precision import cast_floating
+
+                params = cast_floating(params)
+                z = z.astype(jnp.bfloat16)
+            z = jax.lax.stop_gradient(z)
+            loss, metrics = ldm.p_losses(params, z, batch["video_feat"], k_loss)
+            return loss, metrics
         spec = batch["spec"]
         if spec.ndim == 3:
             # host sent single-channel mel (tile_channels=False): the ×3

@@ -1,9 +1,16 @@
 """Serving-under-load artifact (round-2 VERDICT weak/next #8): N concurrent
 clients with mixed window counts against the BatchingEngine on the flagship
 pipeline. Reports request latency p50/p95, bucket-hit rate (steady-state
-recompiles must be zero), and batch occupancy. Writes SERVING_r03.json.
+recompiles must be zero), and batch occupancy. Writes SERVING_r04.json.
 
-Run ON the TPU, quiet machine:  python scripts/serving_load.py
+Round-3 weak #6: run TWICE to also record the warm-restart number an
+operator actually cares about — the first run populates the persistent XLA
+compile cache (cold warmup ~6 min), the second run's `warmup_s` is the
+process-restart latency with a warm cache; it is merged into the artifact
+as `warm_restart_warmup_s`.
+
+Run ON the TPU, quiet machine:  python scripts/serving_load.py   # cold
+                                python scripts/serving_load.py   # warm restart
 """
 import dataclasses
 import json
@@ -140,7 +147,20 @@ def main():
         "warmup_s": round(warm_s, 1),
     }
     out = os.path.abspath(os.path.join(
-        os.path.dirname(__file__), "..", "SERVING_r03.json"))
+        os.path.dirname(__file__), "..", "SERVING_r04.json"))
+    if os.path.exists(out):
+        # second run with the compile cache populated: keep the cold-run
+        # load-phase numbers, record this run's warmup as the warm-restart
+        # figure (plus its own load numbers for cross-checking)
+        with open(out) as f:
+            prev = json.load(f)
+        prev["warm_restart_warmup_s"] = record["warmup_s"]
+        prev["warm_restart_clips_per_min_under_load"] = record[
+            "clips_per_min_under_load"]
+        prev["warm_restart_latency_p50_s"] = record["latency_p50_s"]
+        prev["warm_restart_steady_state_recompiles"] = record[
+            "steady_state_recompiles"]
+        record = prev
     with open(out, "w") as f:
         json.dump(record, f, indent=2)
     print(json.dumps(record, indent=2))

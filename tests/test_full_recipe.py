@@ -181,6 +181,19 @@ def test_generate_and_align_acc_from_native_checkpoints(recipe):
     out = df.generate_from_features(feats, seed=0, gen=gen)
     assert out["wav"].shape == (1, WINDOW_SAMPLES)
     assert np.isfinite(out["wav"]).all()
+
+    # classifier_context="encoded": guidance context through the trained
+    # cond encoder (the training distribution) instead of the reference's
+    # raw-feat quirk — must produce different, finite samples
+    df_enc = DiffFoley.from_native_checkpoints(
+        cavp=recipe["cavp"], ldm=recipe["ldm"],
+        classifier=recipe["classifier"], bf16=False,
+        classifier_context="encoded",
+    )
+    out_enc = df_enc.generate_from_features(feats, seed=0, gen=gen)
+    assert np.isfinite(out_enc["wav"]).all()
+    assert not np.array_equal(out_enc["wav"], out["wav"]), (
+        "encoded-context guidance should steer differently from raw")
     spec = np.asarray(out["spec"])  # (1, 128, 512)
     assert spec.shape == (1, 128, SPEC_FRAMES)
     assert np.isfinite(spec).all()
