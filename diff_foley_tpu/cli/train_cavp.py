@@ -80,6 +80,11 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--native-loader", action="store_true",
                    help="use the C++ shard reader")
+    p.add_argument("--uint8-video", action="store_true",
+                   help="ship video to the device as raw uint8 and divide "
+                        "by 255 on device: half the host->device bytes of "
+                        "bf16 (4x vs fp32) and no host float conversion; "
+                        "numerically identical")
     p.add_argument("--val-shards", default=None,
                    help="validation shards for retrieval R@k eval")
     p.add_argument("--val-frequency", type=int, default=2,
@@ -140,7 +145,8 @@ def main(argv=None):
 
     shards = expand_braces(args.train_shards)
     print(f"{len(shards)} shards")
-    scfg = CAVPShardConfig(clip_num=args.clip_num, shift_lb=args.shift_lb)
+    scfg = CAVPShardConfig(clip_num=args.clip_num, shift_lb=args.shift_lb,
+                           uint8_video=args.uint8_video)
 
     tiny_kw = dict(
         video_stage_blocks=(1, 1, 1, 1), video_base_channels=16,

@@ -40,6 +40,13 @@ class CAVPShardConfig:
     hop_size: int = 250          # CAVP spec hop (data.py:2253)
     video_len: int = 40          # 10 s at 4 FPS
     frame_size: int = 224
+    # True → emit video as raw uint8 [0,255] and let the train step divide
+    # by 255 on device: 2× fewer bytes over the host↔device link than bf16
+    # (4× vs fp32) and no 29 MB/sample float conversion on the host. The
+    # trainer's uint8 path is numerically identical (uint8/255 in the
+    # compute dtype). The reference converts to float on the host
+    # (transform_video, data.py:684-689).
+    uint8_video: bool = False
 
 
 def sample_temporal_index(
@@ -102,7 +109,9 @@ def decode_sample(
         if v.shape[0] < s + truncate_frame:
             v = np.tile(v, (int((s + truncate_frame) // v.shape[0]) + 1, 1, 1, 1))
         videos.append(v[s : s + truncate_frame])
-    video = np.stack(videos).astype(np.float32) / 255.0
+    video = np.stack(videos)                              # (n, 16, H, W, 3) u8
+    if not cfg.uint8_video:
+        video = video.astype(np.float32) / 255.0
     return {
         "video": video,                                   # (n, 16, 224, 224, 3)
         "spec": np.stack(specs).astype(np.float32),       # (n, 128, 256)

@@ -148,6 +148,12 @@ def make_train_step(model: CAVPModel, cfg: Stage1TrainConfig,
     def loss_fn(params, batch_stats, batch, rng):
         video = batch["video"].reshape(-1, *batch["video"].shape[2:])
         spec = batch["spec"].reshape(-1, *batch["spec"].shape[2:])
+        if video.dtype == jnp.uint8:
+            # uint8-over-the-link data path (CAVPShardConfig.uint8_video):
+            # normalize on device in the compute dtype — identical numerics
+            # to the host's float /255, at half the transfer bytes of bf16
+            video = video.astype(
+                jnp.bfloat16 if mixed else jnp.float32) / 255.0
         if mixed:
             params, video, spec = _cast_mixed(params, video, spec)
         out, mutated = model.apply(
@@ -220,6 +226,9 @@ def make_accum_train_step(model: CAVPModel, cfg: Stage1TrainConfig,
         return mb.reshape(-1, *mb.shape[2:])
 
     def _encode(params, stats, video, spec, rng):
+        if video.dtype == jnp.uint8:  # see make_train_step
+            video = video.astype(
+                jnp.bfloat16 if mixed else jnp.float32) / 255.0
         if mixed:
             params, video, spec = _cast_mixed(params, video, spec)
         variables = {"params": params, "batch_stats": stats}

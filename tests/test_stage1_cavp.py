@@ -197,3 +197,55 @@ def test_cavp_mixed_precision_rejects_alt_towers():
         model.init(jax.random.PRNGKey(0),
                    jnp.zeros((1, 16, 16, 16, 3)), jnp.zeros((1, 128, 256)),
                    train=False)
+
+
+def test_uint8_video_link_path_matches_float():
+    """CAVPShardConfig.uint8_video: decode emits raw uint8 and the train
+    step divides by 255 on device — loss and gradients identical to the
+    host-float path (same /255 in fp32, just after the transfer)."""
+    import io
+
+    import cv2
+
+    from diff_foley_tpu.data.cavp_shards import CAVPShardConfig, decode_sample
+
+    rng = np.random.default_rng(3)
+    spec = rng.uniform(0, 1, (128, 640)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, spec)
+    strip = (rng.uniform(size=(16, 16 * 40, 3)) * 255).astype(np.uint8)
+    ok, enc = cv2.imencode(".png", strip[:, :, ::-1])  # png: lossless
+    assert ok
+    sample_rng = lambda: np.random.default_rng(7)  # noqa: E731
+
+    f32 = decode_sample(buf.getvalue(), enc.tobytes(), sample_rng(),
+                        CAVPShardConfig(clip_num=2))
+    u8 = decode_sample(buf.getvalue(), enc.tobytes(), sample_rng(),
+                       CAVPShardConfig(clip_num=2, uint8_video=True))
+    assert u8["video"].dtype == np.uint8
+    np.testing.assert_array_equal(
+        f32["video"], u8["video"].astype(np.float32) / 255.0)
+
+    model = CAVPModel(CAVPConfig(embed_dim=32))
+    cfg = Stage1TrainConfig(lr=1e-3, warmup_steps=1, total_steps=100,
+                            clip_num=2)
+    state0 = init_train_state(
+        model, jax.random.PRNGKey(0), cfg,
+        video_shape=(1, 16, 16, 16, 3), spec_shape=(1, 128, 256),
+    )
+    step = jax.jit(make_train_step(model, cfg))
+    vid_u8 = (np.random.default_rng(5).uniform(
+        size=(2, 2, 16, 16, 16, 3)) * 255).astype(np.uint8)
+    spec_b = jnp.asarray(
+        np.random.default_rng(6).normal(size=(2, 2, 128, 256)), jnp.float32)
+    _, m_f = step(state0, {"video": jnp.asarray(
+        vid_u8.astype(np.float32) / 255.0), "spec": spec_b},
+        jax.random.PRNGKey(1))
+    _, m_u = step(state0, {"video": jnp.asarray(vid_u8), "spec": spec_b},
+                  jax.random.PRNGKey(1))
+    # not bitwise: XLA fuses the on-device /255 into the first conv and
+    # reassociates; agreement is to fp32 fusion tolerance
+    np.testing.assert_allclose(float(m_f["total_loss"]),
+                               float(m_u["total_loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(m_f["grad_norm"]),
+                               float(m_u["grad_norm"]), rtol=1e-3)
