@@ -98,6 +98,24 @@ class BatchingEngine:
                 n_windows += nxt.feats.shape[0]
             self._run(batch)
 
+    def aot_warmup(self, buckets=None, cache_dir=None):
+        """Build or RESTORE the fused executable for every bucket this
+        engine can hit (the power-of-two ladder up to max_windows).
+
+        Restarts are the point: the persistent XLA cache skips recompiles
+        but not jax tracing, which dominates (457.8 s trace+lower vs 4.2 s
+        cached compile for the 16-window flagship bucket). A previously
+        warmed process serialized each executable (utils/aot.py); this
+        restores them in seconds. Returns {bucket: ("loaded"|"compiled",
+        seconds)} — see pipeline.aot_warmup."""
+        if buckets is None:
+            buckets, b = [], 1
+            while b < self.max_windows:
+                buckets.append(b)
+                b *= 2
+            buckets.append(self.max_windows)
+        return self.pipe.aot_warmup(buckets, self.gen, cache_dir=cache_dir)
+
     @staticmethod
     def _bucket(n: int, max_windows: int) -> int:
         """Smallest power-of-two bucket ≥ n, hard-capped at max_windows:

@@ -1,0 +1,67 @@
+"""AOT executable cache: near-instant process restarts for serving.
+
+The persistent XLA compilation cache (utils/compile_cache.py) removes
+recompiles but NOT the jax trace+lower cost, and for the serving
+pipeline's fused program (25-step guided sampler over the 860M UNet + VAE
+decode + Griffin-Lim) tracing DOMINATES a warm restart: measured on the
+v5e, the 16-window bucket costs 457.8 s to trace+lower vs 4.2 s to
+"compile" against a hot XLA cache (SERVING_r04.json attribution).
+
+`jax.experimental.serialize_executable` skips both: the loaded executable
+is pickled once, and a restart deserializes it straight onto the device —
+no tracing, no lowering, no compile. Executables are specific to the
+jaxlib version and device kind, so entries are keyed on both and every
+load failure falls back silently to the jit path (the cache is an
+optimisation, never a correctness dependency).
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from typing import Any, Callable, Optional
+
+import jax
+
+_DEFAULT = os.path.expanduser("~/.cache/diff_foley_tpu/aot")
+
+
+def aot_cache_dir(path: Optional[str] = None) -> str:
+    path = path or os.environ.get("DFT_AOT_CACHE", _DEFAULT)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def cache_key(tag: str, **parts: Any) -> str:
+    """Stable filename: tag + blake2 of the identifying parts + platform."""
+    ident = repr(sorted(parts.items()))
+    dev = jax.devices()[0]
+    env = f"{jax.__version__}-{getattr(dev, 'device_kind', dev.platform)}"
+    h = hashlib.blake2b(f"{ident}|{env}".encode(), digest_size=12).hexdigest()
+    return f"{tag}-{h}.aot"
+
+
+def save_executable(path: str, compiled) -> None:
+    """Serialize a jax `Compiled` to disk (atomic write)."""
+    from jax.experimental import serialize_executable as se
+
+    payload, in_tree, out_tree = se.serialize(compiled)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump((payload, in_tree, out_tree), f)
+    os.replace(tmp, path)
+
+
+def load_executable(path: str) -> Optional[Callable]:
+    """Deserialize + device-load a pickled executable; None on ANY failure
+    (wrong jaxlib, wrong device, corrupt file — callers fall back to jit)."""
+    from jax.experimental import serialize_executable as se
+
+    try:
+        with open(path, "rb") as f:
+            payload, in_tree, out_tree = pickle.load(f)
+        return se.deserialize_and_load(payload, in_tree, out_tree)
+    except FileNotFoundError:
+        return None
+    except Exception:  # noqa: BLE001 — never let a stale cache kill serving
+        return None
