@@ -5,6 +5,7 @@ stubs provide just enough surface (ConvModule with conv_cfg dispatch,
 Registry, build_norm_layer, CfgNode, weight-init no-ops) to construct the
 actual reference models for side-by-side numerics.
 """
+import importlib.machinery
 import importlib.util
 import sys
 import types
@@ -210,5 +211,11 @@ def install_torchvision_stub():
     models = types.ModuleType("torchvision.models")
     models.vgg16 = vgg16
     tv.models = models
+    # A sys.modules entry with __spec__=None makes importlib.util.find_spec
+    # raise ValueError; transformers probes torchvision that way on import.
+    tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", loader=None)
+    models.__spec__ = importlib.machinery.ModuleSpec(
+        "torchvision.models", loader=None
+    )
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = models

@@ -16,6 +16,7 @@ fixed array injected through a q_sample override (torch) / `mask_noise`
 (jax) — the deterministic forward pass the reference's own TODO at
 ddim.py:211 contemplates. The loop arithmetic under test is untouched.
 """
+import importlib.machinery
 import sys
 import types
 
@@ -47,6 +48,12 @@ if "torchvision" not in sys.modules:
     tv_utils = types.ModuleType("torchvision.utils")
     tv_utils.make_grid = lambda *a, **k: a[0]
     tv.utils = tv_utils
+    # A __spec__=None sys.modules entry makes importlib.util.find_spec raise
+    # ValueError; transformers probes torchvision that way on import.
+    tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", loader=None)
+    tv_utils.__spec__ = importlib.machinery.ModuleSpec(
+        "torchvision.utils", loader=None
+    )
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.utils"] = tv_utils
 if "omegaconf" not in sys.modules:
