@@ -182,10 +182,13 @@ def randomize_torch_model(model, seed=0):
 
 
 def install_torchvision_stub():
-    """Stub torchvision.models.vgg16: the exact `features` Sequential layout
-    (conv/relu/maxpool indices 0-30) without downloading weights."""
-    if "torchvision" in sys.modules:
-        return
+    """Stub torchvision with the two surfaces reference code touches:
+    models.vgg16 (the exact `features` Sequential layout, conv/relu/maxpool
+    indices 0-30, no weight download) and utils.make_grid (identity — only
+    called from logging paths the tests don't assert on). Idempotent: on a
+    second call (or a partial stub installed by another test module in the
+    same process) it fills in whatever submodule is missing instead of
+    returning a stub that breaks `from torchvision import models`."""
 
     def vgg16(weights=None, pretrained=False, **kw):
         plan = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
@@ -207,15 +210,23 @@ def install_torchvision_stub():
 
         return _VGG()
 
-    tv = types.ModuleType("torchvision")
-    models = types.ModuleType("torchvision.models")
-    models.vgg16 = vgg16
+    def submodule(name):
+        mod = sys.modules.get(name)
+        if mod is None:
+            mod = types.ModuleType(name)
+            # A sys.modules entry with __spec__=None makes
+            # importlib.util.find_spec raise ValueError; transformers probes
+            # torchvision that way on import.
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+            sys.modules[name] = mod
+        return mod
+
+    tv = submodule("torchvision")
+    models = submodule("torchvision.models")
+    utils = submodule("torchvision.utils")
+    if not hasattr(models, "vgg16"):
+        models.vgg16 = vgg16
+    if not hasattr(utils, "make_grid"):
+        utils.make_grid = lambda *a, **k: a[0]
     tv.models = models
-    # A sys.modules entry with __spec__=None makes importlib.util.find_spec
-    # raise ValueError; transformers probes torchvision that way on import.
-    tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", loader=None)
-    models.__spec__ = importlib.machinery.ModuleSpec(
-        "torchvision.models", loader=None
-    )
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.models"] = models
+    tv.utils = utils

@@ -16,7 +16,6 @@ fixed array injected through a q_sample override (torch) / `mask_noise`
 (jax) — the deterministic forward pass the reference's own TODO at
 ddim.py:211 contemplates. The loop arithmetic under test is untouched.
 """
-import importlib.machinery
 import sys
 import types
 
@@ -43,19 +42,9 @@ if not hasattr(pl_mod, "utilities"):
     sys.modules["pytorch_lightning.utilities.distributed"] = dist_mod
 if not getattr(pl_mod, "LightningModule", None):
     pl_mod.LightningModule = torch.nn.Module
-if "torchvision" not in sys.modules:
-    tv = types.ModuleType("torchvision")
-    tv_utils = types.ModuleType("torchvision.utils")
-    tv_utils.make_grid = lambda *a, **k: a[0]
-    tv.utils = tv_utils
-    # A __spec__=None sys.modules entry makes importlib.util.find_spec raise
-    # ValueError; transformers probes torchvision that way on import.
-    tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", loader=None)
-    tv_utils.__spec__ = importlib.machinery.ModuleSpec(
-        "torchvision.utils", loader=None
-    )
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.utils"] = tv_utils
+from ref_stubs import install_torchvision_stub  # noqa: E402
+
+install_torchvision_stub()  # shared idempotent stub (models + utils)
 if "omegaconf" not in sys.modules:
     fake_oc = types.ModuleType("omegaconf")
     fake_lc = types.ModuleType("omegaconf.listconfig")
