@@ -168,3 +168,21 @@ class DiffFoley:
     def generate_from_features(self, feats: np.ndarray, seed: int = 21,
                                gen: GenerationConfig = GenerationConfig()):
         return self.pipe.generate(feats, jax.random.PRNGKey(seed), gen)
+
+    def continue_audio(
+        self, feats: np.ndarray, known_spec: np.ndarray, known_seconds: float,
+        seed: int = 21,
+        gen: GenerationConfig = GenerationConfig(sampler="ddim"),
+    ):
+        """Keep the first `known_seconds` of `known_spec` (a mel image in
+        [0, 1], e.g. a prior generate() output sample) and regenerate the
+        rest against the video features — latent-space audio continuation
+        via the DDIM mask/x0 path (see DiffFoleyPipeline.inpaint)."""
+        from .pipeline import continuation_mask
+
+        known_spec = np.asarray(known_spec, np.float32)
+        frames = int(round(known_seconds * self.pipe.melspec.sr
+                           / self.pipe.melspec.hop_length))
+        mask = continuation_mask(known_spec.shape[1], frames)
+        return self.pipe.inpaint(
+            feats, known_spec, mask, jax.random.PRNGKey(seed), gen)

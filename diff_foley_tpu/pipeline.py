@@ -55,6 +55,30 @@ def window_features(feats: np.ndarray, window: int = WINDOW_FEATS) -> np.ndarray
     return feats[: n * window].reshape(n, window, feats.shape[-1])
 
 
+SPEC_HW = (LATENT_HW[0] * 8, LATENT_HW[1] * 8)  # (128 mel, 512 frames)/window
+
+
+def continuation_mask(
+    n_frames: int, known_frames: int, n_mels: int = SPEC_HW[0]
+) -> np.ndarray:
+    """Spec-space keep-mask for audio continuation: the first
+    `known_frames` mel frames (hop 256 @16 kHz → 62.5 frames/s) are KNOWN
+    (kept from the given spec), the rest are generated."""
+    m = np.zeros((n_mels, n_frames), np.float32)
+    m[:, :known_frames] = 1.0
+    return m
+
+
+def spec_mask_to_latent(mask_w: np.ndarray) -> np.ndarray:
+    """(w, 128, 512) spec-space keep-mask → (w, 16, 64, 1) latent mask by
+    8×8 min-pool: a latent cell counts as KNOWN only when its whole 8×8
+    spec patch is known, so partially-known patches are regenerated rather
+    than leaking unknown content through the blend."""
+    w, h, f = mask_w.shape
+    assert h % 8 == 0 and f % 8 == 0, (h, f)
+    return mask_w.reshape(w, h // 8, 8, f // 8, 8).min(axis=(2, 4))[..., None]
+
+
 class DiffFoleyPipeline:
     """Bundles the LDM + (optional) alignment classifier for inference."""
 
@@ -150,6 +174,44 @@ class DiffFoleyPipeline:
     @partial(jax.jit, static_argnames=("self", "gen"))
     def _generate_fused(self, params, vae_params, feats_w, k_s, k_g, gen):
         specs = self._sample_and_decode(params, vae_params, feats_w, k_s, gen)
+        wavs = mel_to_wav(
+            specs, k_g, self.melspec, n_iter=gen.gl_iters,
+            length=WINDOW_SAMPLES,
+        )
+        return specs, wavs
+
+    # masked (inpainting/continuation) twin of _generate_fused: the known
+    # latent region is re-imposed every sampler step (ddim.py:210-213 via
+    # diffusion/samplers.py mask/x0; parity: tests/test_ancestral_inpaint_parity.py)
+    @partial(jax.jit, static_argnames=("self", "gen"))
+    def _inpaint_fused(self, params, vae_params, feats_w, spec_w, mask_lat,
+                       k_s, k_g, gen):
+        s = gen.sample_num
+        cond = jnp.repeat(feats_w, s, axis=0)
+        x_img = jnp.repeat(spec_w[..., None], 3, axis=-1)  # mel → 3-ch image
+        if self.vae_compute is not None:
+            x_img = x_img.astype(self.vae_compute)
+        # deterministic encode (posterior mode): the known canvas must not
+        # resample per call or the kept region would drift between runs
+        z0 = self.ldm.encode_first_stage(vae_params, x_img)
+        z0 = jnp.repeat(z0.astype(jnp.float32), s, axis=0)
+        mask = jnp.repeat(mask_lat, s, axis=0)
+        use_clf = gen.classifier_scale > 0 and self.classifier is not None
+        z = self.ldm.sample(
+            params, cond, k_s,
+            latent_hw=LATENT_HW,
+            sampler=gen.sampler,
+            steps=gen.steps,
+            cfg_scale=gen.cfg_scale,
+            classifier=self.classifier if use_clf else None,
+            classifier_scale=gen.classifier_scale if use_clf else 0.0,
+            mask=mask, x0=z0,
+            **dict(gen.solver_opts),
+        )
+        if self.vae_compute is not None:
+            z = z.astype(self.vae_compute)
+        spec_img = self.ldm.decode_first_stage(vae_params, z)
+        specs = jnp.clip(spec_img[..., 0].astype(jnp.float32), 0.0, 1.0)
         wavs = mel_to_wav(
             specs, k_g, self.melspec, n_iter=gen.gl_iters,
             length=WINDOW_SAMPLES,
@@ -255,7 +317,11 @@ class DiffFoleyPipeline:
         specs, wavs = self._fused_call(
             feats_w, k_s, k_g, gen
         )  # (wp*s, 128, 512), (wp*s, WINDOW_SAMPLES)
+        return self._pack_outputs(specs, wavs, wp, w, gen)
 
+    def _pack_outputs(self, specs, wavs, wp, w, gen):
+        """(wp·s, …) device outputs → per-sample time-concatenated host dict,
+        trimming mesh-padding windows wp→w."""
         s = gen.sample_num
         wavs = np.asarray(wavs).reshape(wp, s, -1)[:w]
         out = {"wav": wavs.transpose(1, 0, 2).reshape(s, -1)}
@@ -265,6 +331,67 @@ class DiffFoleyPipeline:
             out["spec"] = sp.transpose(1, 2, 0, 3).reshape(
                 s, sp.shape[2], -1)
         return out
+
+    def inpaint(
+        self,
+        cavp_feats: np.ndarray,
+        known_spec: np.ndarray,
+        spec_mask: np.ndarray,
+        key: jax.Array,
+        gen: GenerationConfig = GenerationConfig(sampler="ddim"),
+    ):
+        """Masked generation: inpaint or continue audio against a video.
+
+        The reference's DDIM/ancestral loops re-impose the known region each
+        step as ``q_sample(x0, t)·mask + (1−mask)·x`` (ddim.py:210-213,
+        ddpm.py:1224-1227); this surfaces that latent capability at the
+        mel-spectrogram level:
+
+        - ``known_spec`` (n_mels, frames): mel image in [0, 1] — e.g. a prior
+          ``generate()`` output sample, or ``audio.transforms`` applied to
+          recorded audio;
+        - ``spec_mask`` (n_mels, frames): 1 = KEEP from known_spec,
+          0 = generate (``continuation_mask`` builds the keep-the-first-K
+          -frames case). Min-pooled 8×8 to latent resolution, so only fully
+          known patches are pinned.
+
+        Returns the same dict as ``generate``. Requires a masked-capable
+        sampler (``ddim`` — the default here — or ``ancestral``); the
+        DPM-Solver library has no mask path, matching the reference.
+        """
+        if gen.sampler not in ("ddim", "ancestral", "ddpm"):
+            raise ValueError(
+                f"inpainting needs sampler 'ddim' or 'ancestral' "
+                f"(reference parity: ddim.py:210/ddpm.py:1224), got "
+                f"{gen.sampler!r}"
+            )
+        feats_w = window_features(np.asarray(cavp_feats))
+        w = feats_w.shape[0]
+        n_mels, frames = SPEC_HW[0], w * SPEC_HW[1]
+        known_spec = np.asarray(known_spec, np.float32)
+        spec_mask = np.asarray(spec_mask, np.float32)
+        if known_spec.shape != spec_mask.shape:
+            raise ValueError(
+                f"known_spec {known_spec.shape} vs spec_mask "
+                f"{spec_mask.shape} shape mismatch")
+        if known_spec.shape[0] != n_mels or known_spec.shape[1] < frames:
+            raise ValueError(
+                f"known_spec must be ({n_mels}, ≥{frames}) for {w} windows, "
+                f"got {known_spec.shape}")
+        # (mels, w·512) → per-window (w, mels, 512)
+        to_w = lambda a: np.ascontiguousarray(
+            a[:, :frames].reshape(n_mels, w, SPEC_HW[1]).transpose(1, 0, 2))
+        spec_w = to_w(known_spec)
+        mask_lat = spec_mask_to_latent(to_w(spec_mask))
+        (feats_j, spec_j, mask_j), _ = self._shard_batch(
+            feats_w, spec_w, mask_lat)
+        wp = feats_j.shape[0]
+        k_s, k_g = jax.random.split(key)
+        specs, wavs = self._inpaint_fused(
+            self.params, self.vae_params, feats_j, spec_j, mask_j,
+            k_s, k_g, gen,
+        )
+        return self._pack_outputs(specs, wavs, wp, w, gen)
 
     def _generate_bucketed(self, cavp_feats, key, gen, bucket: int):
         """Fixed-bucket generation: pad the window stream to a multiple of
