@@ -37,6 +37,13 @@ def cache_key(tag: str, **parts: Any) -> str:
     ident = repr(sorted(parts.items()))
     dev = jax.devices()[0]
     env = f"{jax.__version__}-{getattr(dev, 'device_kind', dev.platform)}"
+    if dev.platform == "cpu":
+        # XLA:CPU executables bake in host ISA features (AMX/AVX-512 …);
+        # loading one on a lesser host can SIGILL, which no try/except can
+        # catch. Namespace CPU entries by the host fingerprint.
+        from .compile_cache import host_cpu_fingerprint
+
+        env += f"-{host_cpu_fingerprint()}"
     h = hashlib.blake2b(f"{ident}|{env}".encode(), digest_size=12).hexdigest()
     return f"{tag}-{h}.aot"
 
