@@ -401,8 +401,11 @@ def main():
     gc.collect()
 
     pipe = build_pipeline(jax.random.PRNGKey(0))
-    # 1 sample per window; CLIPS windows; serving mode (wav-only readback)
-    gen = GenerationConfig(sample_num=1, return_spec=False)
+    # 1 sample per window; CLIPS windows; serving mode (wav-only readback,
+    # int16 PCM packed on device: write_wav-exact quantization at half the
+    # relay bytes — the fp32 bulk readback measured 15% of generate() wall)
+    gen = GenerationConfig(sample_num=1, return_spec=False,
+                           wav_dtype="int16")
     feats = np.random.default_rng(0).normal(size=(CLIPS * WINDOW_FEATS, 512))
     feats = feats.astype(np.float32)
 

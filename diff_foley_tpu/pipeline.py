@@ -39,12 +39,33 @@ class GenerationConfig:
     sample_num: int = 4
     gl_iters: int = 32
     return_spec: bool = True  # False skips the spec host transfer (serving)
+    # dtype the fused program returns waveforms in. "int16" converts on
+    # device with write_wav's exact quantization (clip·32767), halving the
+    # bulk host transfer — byte-identical wav files, so serving/bench run
+    # int16. "float32" (default) keeps the raw Griffin-Lim output for
+    # API consumers that post-process audio.
+    wav_dtype: str = "float32"
     # extra sampler options as hashable (key, value) pairs — GenerationConfig
     # is a static jit arg. For sampler="dpm" this exposes the full solver
     # library (diffusion/samplers.py): order 1-3, method
     # multistep/singlestep/singlestep_fixed/adaptive, skip_type, thresholding.
     # e.g. solver_opts=(("order", 3), ("method", "singlestep"))
     solver_opts: tuple = ()
+
+
+def _pack_wav(wavs: jnp.ndarray, wav_dtype: str) -> jnp.ndarray:
+    """On-device waveform packing for the bulk host transfer.
+
+    "int16" applies utils/wav.py::write_wav's exact quantization
+    (clip(-1,1)·32767 → i16) before the transfer: the wav FILE bytes are
+    identical, the relay transfer is half the size."""
+    if wav_dtype == "float32":
+        return wavs
+    if wav_dtype == "int16":
+        # astype matches write_wav's C-cast truncation (NOT round), so the
+        # file bytes equal the float32-path file bytes exactly
+        return (jnp.clip(wavs, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+    return wavs.astype(jnp.dtype(wav_dtype))
 
 
 def window_features(feats: np.ndarray, window: int = WINDOW_FEATS) -> np.ndarray:
@@ -178,7 +199,7 @@ class DiffFoleyPipeline:
             specs, k_g, self.melspec, n_iter=gen.gl_iters,
             length=WINDOW_SAMPLES,
         )
-        return specs, wavs
+        return specs, _pack_wav(wavs, gen.wav_dtype)
 
     # masked (inpainting/continuation) twin of _generate_fused: the known
     # latent region is re-imposed every sampler step (ddim.py:210-213 via
@@ -216,7 +237,7 @@ class DiffFoleyPipeline:
             specs, k_g, self.melspec, n_iter=gen.gl_iters,
             length=WINDOW_SAMPLES,
         )
-        return specs, wavs
+        return specs, _pack_wav(wavs, gen.wav_dtype)
 
     def _fused_call(self, feats_w, k_s, k_g, gen):
         """Dispatch to an AOT-loaded executable when one matches this
@@ -256,7 +277,7 @@ class DiffFoleyPipeline:
                 specs, k_g, self.melspec, n_iter=gen.gl_iters,
                 length=WINDOW_SAMPLES,
             )
-            return specs, wavs
+            return specs, _pack_wav(wavs, gen.wav_dtype)
 
         # deserialize_and_load rebinds an executable to ALL local devices,
         # so the disk path is only sound on single-device processes (the

@@ -42,7 +42,8 @@ class BatchingEngine:
     def __init__(
         self,
         pipe: DiffFoleyPipeline,
-        gen: GenerationConfig = GenerationConfig(sample_num=1, return_spec=False),
+        gen: GenerationConfig = GenerationConfig(
+            sample_num=1, return_spec=False, wav_dtype="int16"),
         max_batch_windows: int = 16,
         max_wait_ms: float = 30.0,
         seed: int = 0,
@@ -211,6 +212,8 @@ class FoleyServer:
                         self._send(404, {"error": "not found"})
                         return
                     wav = eng.submit(feats)
+                    if wav.dtype == np.int16:  # wav_dtype="int16" pipelines
+                        wav = wav.astype(np.float32) / 32767.0
                     self._send(200, {
                         "sr": 16000,
                         "num_samples": int(wav.shape[-1]),

@@ -8,9 +8,13 @@ import numpy as np
 
 
 def write_wav(path: str, wav: np.ndarray, sr: int = 16000) -> None:
-    """float waveform in [-1, 1] → 16-bit PCM WAV."""
-    data = np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
-    pcm = (data * 32767.0).astype("<i2")
+    """float waveform in [-1, 1] (or pre-quantized int16 PCM) → 16-bit WAV."""
+    wav = np.asarray(wav)
+    if wav.dtype == np.int16:  # already quantized on-device (wav_dtype="int16")
+        pcm = wav.astype("<i2", copy=False)
+    else:
+        data = np.clip(wav.astype(np.float32), -1.0, 1.0)
+        pcm = (data * 32767.0).astype("<i2")
     with wave.open(path, "wb") as f:
         f.setnchannels(1)
         f.setsampwidth(2)
