@@ -113,9 +113,14 @@ def run_retrieval_eval(model, state, shards, cfg, n_samples, iter_fn):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     vs, ss = [], []
     for sample in iter_fn(shards, seed=1234, epoch=0, cfg=cfg):
+        v_np = np.asarray(sample["video"][:1])
+        if v_np.dtype == np.uint8:
+            # --uint8-video streams raw bytes; only the TRAIN step divides
+            # by 255 on device — eval must normalize here or retrieval R@k
+            # is computed on 255×-scaled inputs
+            v_np = v_np.astype(np.float32) / 255.0
         v, s = encode(
-            variables, jnp.asarray(sample["video"][:1]),
-            jnp.asarray(sample["spec"][:1]),
+            variables, jnp.asarray(v_np), jnp.asarray(sample["spec"][:1]),
         )
         vs.append(np.asarray(v))
         ss.append(np.asarray(s))

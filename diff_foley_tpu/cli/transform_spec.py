@@ -62,7 +62,9 @@ def main(argv=None):
     os.makedirs(args.output, exist_ok=True)
 
     names = sorted(f for f in os.listdir(args.input) if f.endswith(".npy"))
-    chunk = len(names) // args.split + 1  # reference's ceil-ish split (:120)
+    # true ceil split (the reference's `len//split + 1` at :120 leaves
+    # trailing nodes with ZERO files whenever len % split == 0)
+    chunk = -(-len(names) // args.split) if names else 0
     names = names[args.node * chunk: min((args.node + 1) * chunk, len(names))]
     jobs = [
         (os.path.join(args.input, n), os.path.join(args.output, n), args.direction)

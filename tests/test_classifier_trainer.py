@@ -3,7 +3,7 @@ finite loss/metrics, and advances state on random data.
 
 This is a wiring smoke test only — it does NOT prove learning. The learning
 proof (held-out accuracy >> 0.5 chance on a learnable synthetic AV task)
-lives in tests/test_learning_quality.py.
+lives in tests/test_learning.py.
 """
 import jax
 import jax.numpy as jnp
