@@ -65,7 +65,13 @@ def _pack_wav(wavs: jnp.ndarray, wav_dtype: str) -> jnp.ndarray:
         # astype matches write_wav's C-cast truncation (NOT round), so the
         # file bytes equal the float32-path file bytes exactly
         return (jnp.clip(wavs, -1.0, 1.0) * 32767.0).astype(jnp.int16)
-    return wavs.astype(jnp.dtype(wav_dtype))
+    if wav_dtype in ("float64", "bfloat16", "float16"):
+        return wavs.astype(jnp.dtype(wav_dtype))
+    # any other integer cast of [-1,1] floats truncates to {-1,0,1} —
+    # silent garbage audio, so reject instead
+    raise ValueError(
+        f"unsupported wav_dtype {wav_dtype!r}: use 'float32', 'int16', or a "
+        "float width")
 
 
 def window_features(feats: np.ndarray, window: int = WINDOW_FEATS) -> np.ndarray:
@@ -160,20 +166,30 @@ class DiffFoleyPipeline:
     # one compiled program: windows×samples latents → specs
     @partial(jax.jit, static_argnames=("self", "gen"))
     def _sample_and_decode(self, params, vae_params, feats_w, key, gen,
-                           x_T=None):
+                           x_T=None, clf_params=None):
         """`x_T` (w·sample_num, *LATENT_HW, C) overrides the key-derived
-        initial noise — parity harnesses share one x_T with the reference."""
+        initial noise — parity harnesses share one x_T with the reference.
+
+        `clf_params` overrides the classifier weights captured in
+        `self.classifier` — the AOT path passes them as a RUNTIME argument
+        so a restored executable always guides with the current weights
+        (a closure capture would bake retrained-stale params into the
+        serialized program)."""
         w, f, d = feats_w.shape
         s = gen.sample_num
         cond = jnp.repeat(feats_w, s, axis=0)  # (w*s, f, d)
         use_clf = gen.classifier_scale > 0 and self.classifier is not None
+        clf = None
+        if use_clf:
+            clf = (self.classifier[0],
+                   self.classifier[1] if clf_params is None else clf_params)
         z = self.ldm.sample(
             params, cond, key,
             latent_hw=LATENT_HW,
             sampler=gen.sampler,
             steps=gen.steps,
             cfg_scale=gen.cfg_scale,
-            classifier=self.classifier if use_clf else None,
+            classifier=clf,
             classifier_scale=gen.classifier_scale if use_clf else 0.0,
             x_T=x_T,
             **dict(gen.solver_opts),
@@ -191,10 +207,16 @@ class DiffFoleyPipeline:
 
     # sampler + VAE decode + Griffin-Lim as ONE compiled program: a single
     # relay dispatch per generate() call instead of three (each dispatch
-    # pays a ~30 ms round trip on the axon link)
+    # pays a ~30 ms round trip on the axon link). Classifier params are a
+    # RUNTIME argument (not a closure constant): the jit and AOT paths then
+    # compile the SAME program — baking them in lets XLA constant-fold the
+    # guidance differently, which measurably drifts from the AOT executable
+    # on TPU — and swapping classifier weights never serves stale guidance.
     @partial(jax.jit, static_argnames=("self", "gen"))
-    def _generate_fused(self, params, vae_params, feats_w, k_s, k_g, gen):
-        specs = self._sample_and_decode(params, vae_params, feats_w, k_s, gen)
+    def _generate_fused(self, params, vae_params, clf_params, feats_w,
+                        k_s, k_g, gen):
+        specs = self._sample_and_decode(params, vae_params, feats_w, k_s, gen,
+                                        clf_params=clf_params)
         wavs = mel_to_wav(
             specs, k_g, self.melspec, n_iter=gen.gl_iters,
             length=WINDOW_SAMPLES,
@@ -239,14 +261,21 @@ class DiffFoleyPipeline:
         )
         return specs, _pack_wav(wavs, gen.wav_dtype)
 
+    def _clf_runtime_params(self):
+        """Classifier params passed as a runtime arg to AOT executables
+        (None when no classifier is attached)."""
+        return self.classifier[1] if self.classifier is not None else None
+
     def _fused_call(self, feats_w, k_s, k_g, gen):
         """Dispatch to an AOT-loaded executable when one matches this
         (window-count, gen) bucket, else the jit path."""
         g = self._aot.get((int(feats_w.shape[0]), gen))
         if g is not None:
-            return g(self.params, self.vae_params, feats_w, k_s, k_g)
+            return g(self.params, self.vae_params, self._clf_runtime_params(),
+                     feats_w, k_s, k_g)
         return self._generate_fused(
-            self.params, self.vae_params, feats_w, k_s, k_g, gen)
+            self.params, self.vae_params, self._clf_runtime_params(),
+            feats_w, k_s, k_g, gen)
 
     def aot_warmup(self, window_buckets, gen: "GenerationConfig",
                    cache_dir=None):
@@ -257,8 +286,15 @@ class DiffFoleyPipeline:
         restart still pays jax trace+lower, which DOMINATES for this
         program (measured 457.8 s trace+lower vs 4.2 s cached compile for
         the 16-window flagship bucket). A serialized executable restores in
-        seconds. First call per (bucket, gen, jaxlib, device-kind) traces
-        and persists; every later process restores without tracing.
+        seconds. First call per (bucket, gen, jaxlib, device-kind,
+        topology) traces and persists; every later process with the same
+        device topology restores without tracing.
+
+        Classifier weights are a RUNTIME argument of the cached program
+        (not baked in), so restoring after retraining the classifier
+        guides with the new weights; the cache key still carries the
+        classifier's tree STRUCTURE (shapes/dtypes + apply-fn name) so a
+        differently-shaped classifier can never collide.
 
         Returns {bucket: ("loaded"|"compiled", seconds)}.
         """
@@ -270,20 +306,31 @@ class DiffFoleyPipeline:
 
         d = aot_cache_dir(cache_dir)
 
-        def plain(params, vae_params, feats_w, k_s, k_g):
+        def plain(params, vae_params, clf_params, feats_w, k_s, k_g):
             specs = self._sample_and_decode(
-                params, vae_params, feats_w, k_s, gen)
+                params, vae_params, feats_w, k_s, gen,
+                clf_params=clf_params)
             wavs = mel_to_wav(
                 specs, k_g, self.melspec, n_iter=gen.gl_iters,
                 length=WINDOW_SAMPLES,
             )
             return specs, _pack_wav(wavs, gen.wav_dtype)
 
-        # deserialize_and_load rebinds an executable to ALL local devices,
-        # so the disk path is only sound on single-device processes (the
-        # serving topology); multi-device hosts still get the in-process
-        # AOT dict (no retracing per generate), just no cross-process reuse
-        single = len(jax.devices()) == 1
+        clf_params = self._clf_runtime_params()
+        use_clf = gen.classifier_scale > 0 and self.classifier is not None
+        clf_fp = "none"
+        if self.classifier is not None:
+            fn = self.classifier[0]
+            struct = jax.tree.map(
+                lambda a: (tuple(a.shape), str(a.dtype)), clf_params)
+            clf_fp = f"{getattr(fn, '__qualname__', repr(fn))}|{struct!r}"
+        # Executables bind to a concrete device assignment; deserialization
+        # maps serialized device ids onto the current process's devices, so
+        # disk reuse is sound exactly when the topology matches — key on it.
+        topo = (
+            tuple(getattr(dv, "id", i) for i, dv in enumerate(jax.devices())),
+            None if self.mesh is None else tuple(self.mesh.shape.items()),
+        )
         report = {}
         for w in window_buckets:
             w = int(w)
@@ -291,19 +338,28 @@ class DiffFoleyPipeline:
                 f"fused-w{w}", gen=repr(gen), mel=repr(self.melspec),
                 vae_dtype=str(self.vae_compute),
                 unet=repr(self.ldm.cfg),
+                clf=clf_fp if use_clf else "unused",
+                topo=repr(topo),
             ))
             t0 = _time.time()
-            g = load_executable(path) if single else None
+            g = load_executable(path)
             if g is None:
                 feats = jnp.zeros((w, WINDOW_FEATS, 512))
+                if self.mesh is not None:
+                    # lower with the dispatch-time shardings or the cached
+                    # executable rejects generate()'s P('data') inputs
+                    feats = jax.device_put(feats, self._dsh)
                 key = jax.random.PRNGKey(0)
                 compiled = jax.jit(plain).lower(
-                    self.params, self.vae_params, feats, key, key
+                    self.params, self.vae_params, clf_params, feats, key, key
                 ).compile()
-                if single:
+                # cache write failures (unpicklable executable, full/readonly
+                # disk) must not kill serving startup — the in-memory
+                # executable is fully usable
+                try:
                     save_executable(path, compiled)
                     g = load_executable(path) or compiled
-                else:
+                except Exception:  # noqa: BLE001
                     g = compiled
                 report[w] = ("compiled", round(_time.time() - t0, 1))
             else:

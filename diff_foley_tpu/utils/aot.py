@@ -49,25 +49,37 @@ def cache_key(tag: str, **parts: Any) -> str:
 
 
 def save_executable(path: str, compiled) -> None:
-    """Serialize a jax `Compiled` to disk (atomic write)."""
+    """Serialize a jax `Compiled` to disk (atomic write).
+
+    The executable's device ASSIGNMENT is stored alongside the payload:
+    without it, `deserialize_and_load` rebinds to ALL local devices, which
+    breaks any process whose device count differs from the executable's
+    (e.g. a 1-device program restored on an 8-device host)."""
     from jax.experimental import serialize_executable as se
 
     payload, in_tree, out_tree = se.serialize(compiled)
+    dev_ids = [
+        d.id for d in compiled._executable.xla_executable.local_devices()
+    ]
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        pickle.dump((payload, in_tree, out_tree), f)
+        pickle.dump((payload, in_tree, out_tree, dev_ids), f)
     os.replace(tmp, path)
 
 
 def load_executable(path: str) -> Optional[Callable]:
-    """Deserialize + device-load a pickled executable; None on ANY failure
-    (wrong jaxlib, wrong device, corrupt file — callers fall back to jit)."""
+    """Deserialize + device-load a pickled executable, pinned to the saved
+    device assignment; None on ANY failure (wrong jaxlib, wrong device,
+    missing device ids, corrupt file — callers fall back to jit)."""
     from jax.experimental import serialize_executable as se
 
     try:
         with open(path, "rb") as f:
-            payload, in_tree, out_tree = pickle.load(f)
-        return se.deserialize_and_load(payload, in_tree, out_tree)
+            payload, in_tree, out_tree, dev_ids = pickle.load(f)
+        by_id = {d.id: d for d in jax.devices()}
+        devices = [by_id[i] for i in dev_ids]  # KeyError → fall back to jit
+        return se.deserialize_and_load(
+            payload, in_tree, out_tree, execution_devices=devices)
     except FileNotFoundError:
         return None
     except Exception:  # noqa: BLE001 — never let a stale cache kill serving
