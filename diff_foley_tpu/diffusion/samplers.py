@@ -500,13 +500,26 @@ class _DPMModel:
     """eps_fn + schedule → the solver's model function m(x, t):
     ε itself (predict_x0=False) or the (optionally thresholded) data
     prediction (dpm_solver.py:385-408). Classifier-guidance scale = σ_t
-    (model_wrapper_with_classifier, dpm_solver.py:1392)."""
+    (model_wrapper_with_classifier, dpm_solver.py:1392).
 
-    def __init__(self, eps_fn, predict_x0, thresholding, max_val):
+    `model_type` mirrors model_wrapper's parameterisations
+    (dpm_solver.py:177-349, assert at :349): the wrapped network may
+    predict "noise" (ε, the shipped Diff-Foley case), "x_start" (x₀), or
+    "v" (velocity); the raw output is converted to ε first — the same
+    order of operations as the reference's noise_pred_fn → model_fn —
+    before the solver's ε→x₀ conversion."""
+
+    def __init__(self, eps_fn, predict_x0, thresholding, max_val,
+                 model_type="noise"):
+        if model_type not in ("noise", "x_start", "v"):
+            raise ValueError(
+                f"model_type must be 'noise', 'x_start' or 'v' "
+                f"(dpm_solver.py:349), got {model_type!r}")
         self.eps_fn = eps_fn
         self.predict_x0 = predict_x0
         self.thresholding = thresholding
         self.max_val = max_val
+        self.model_type = model_type
 
     def __call__(self, x, t_model, alpha_t, sigma_t):
         b = x.shape[0]
@@ -515,10 +528,17 @@ class _DPMModel:
             if not (isinstance(t_model, jnp.ndarray) and t_model.ndim == 1)
             else t_model.astype(x.dtype)
         )
-        eps = self.eps_fn(x, t_vec, _bc(sigma_t, x.ndim))
+        a_b, s_b = _bc(alpha_t, x.ndim), _bc(sigma_t, x.ndim)
+        out = self.eps_fn(x, t_vec, s_b)
+        if self.model_type == "x_start":       # ε = (x − α·x₀)/σ  (:303-306)
+            eps = (x - a_b * out) / s_b
+        elif self.model_type == "v":           # ε = α·v + σ·x     (:307-310)
+            eps = a_b * out + s_b * x
+        else:
+            eps = out
         if not self.predict_x0:
             return eps
-        x0 = (x - _bc(sigma_t, x.ndim) * eps) / _bc(alpha_t, x.ndim)
+        x0 = (x - s_b * eps) / a_b
         if self.thresholding:
             x0 = _threshold(x0, self.max_val)
         return x0
@@ -543,17 +563,20 @@ def dpm_solver_sample(
     t_end: Optional[float] = None,
     atol: float = 0.0078,
     rtol: float = 0.05,
+    model_type: str = "noise",
 ) -> jnp.ndarray:
     """DPM-Solver sampling (DPM_Solver.sample, dpm_solver.py:516-675).
 
     Defaults are the shipped Diff-Foley inference configuration
     (sampler.py:83,154): DPM-Solver++ multistep order 2, uniform time grid,
     lower_order_final. `steps` is the NFE budget (ignored by 'adaptive').
+    `model_type` selects the network's parameterisation à la model_wrapper
+    (dpm_solver.py:177-349): "noise" (shipped), "x_start", or "v".
     """
     ns = _NSMath(np, schedule.alphas_cumprod)
     t_0 = 1.0 / ns.N if t_end is None else t_end
     t_T = ns.T if t_start is None else t_start
-    model = _DPMModel(eps_fn, predict_x0, thresholding, max_val)
+    model = _DPMModel(eps_fn, predict_x0, thresholding, max_val, model_type)
 
     if method == "multistep":
         x = _dpm_multistep(
@@ -575,7 +598,7 @@ def dpm_solver_sample(
 
     if denoise_to_zero:
         # final first-order denoise λ→∞ (dpm_solver.py:498-502,673-674)
-        x0_model = _DPMModel(eps_fn, True, thresholding, max_val)
+        x0_model = _DPMModel(eps_fn, True, thresholding, max_val, model_type)
         x = x0_model(x, ns.t_model(t_0), float(ns.alpha(t_0)), float(ns.std(t_0)))
     return x.astype(x_T.dtype)
 

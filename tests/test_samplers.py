@@ -205,6 +205,47 @@ def test_dpm_solver_library_parity_vs_reference_torch(kw):
     np.testing.assert_allclose(out_nchw, ref, rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.parametrize("model_type", ["noise", "x_start", "v"])
+@pytest.mark.parametrize("predict_x0", [True, False])
+def test_dpm_model_type_parity_vs_reference_torch(model_type, predict_x0):
+    """model_wrapper's three model parameterisations (dpm_solver.py:177-349):
+    the same underlying network, declared as a noise/x_start/v predictor,
+    must produce the reference trajectory through the jax solver."""
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    from diff_foley.models.diffusion.dpm_solver.dpm_solver import (
+        DPM_Solver,
+        NoiseScheduleVP,
+        model_wrapper,
+    )
+
+    torch_model, eps_fn, ac_np, x_T_np = _parity_pair()
+    ns = NoiseScheduleVP("discrete", alphas_cumprod=torch.from_numpy(ac_np))
+    wrapped = model_wrapper(torch_model, ns, model_type=model_type,
+                            guidance_type="uncond")
+    solver = DPM_Solver(wrapped, ns, predict_x0=predict_x0)
+    with torch.no_grad():
+        ref = solver.sample(
+            torch.from_numpy(x_T_np), steps=12, skip_type="time_uniform",
+            method="multistep", order=2, lower_order_final=True,
+        ).numpy()
+
+    x_T = jnp.asarray(x_T_np.transpose(0, 2, 3, 1))
+    out = dpm_solver_sample(
+        eps_fn, SCHED, x_T, steps=12, method="multistep", order=2,
+        predict_x0=predict_x0, model_type=model_type,
+    )
+    out_nchw = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out_nchw, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_dpm_model_type_rejects_unknown():
+    eps_fn = _point_mass_eps(0.0)
+    x_T = jnp.zeros((1, 4, 4, 1))
+    with pytest.raises(ValueError, match="model_type"):
+        dpm_solver_sample(eps_fn, SCHED, x_T, steps=4, model_type="score")
+
+
 def test_dpm_multistep3_lower_order_tail_reference_quirk():
     """Reference quirk: multistep order-3 with steps<15 CRASHES upstream —
     the lower_order_final tail calls multistep_dpm_solver_second_update with a
