@@ -36,12 +36,59 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=25)
     p.add_argument("--sample-num", type=int, default=4)
     p.add_argument("--sampler", default="dpm", choices=["dpm", "ddim", "plms"])
+    p.add_argument(
+        "--continue-from", default=None,
+        help="audio continuation: a 16 kHz .wav or a normalised mel-spec "
+             ".npy whose first --known-seconds are KEPT; the rest is "
+             "regenerated against the video (DDIM mask/x0 path, "
+             "ddim.py:210-213 — forces --sampler ddim unless one of "
+             "ddim/ancestral is chosen)")
+    p.add_argument(
+        "--known-seconds", type=float, default=None,
+        help="how much of --continue-from to keep (required with it)")
     p.add_argument("--seed", type=int, default=21)  # notebook cell 9
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--frame-size", type=int, default=None,
                    help="ingest resize; defaults to the geometry a native "
                         "CAVP logdir was trained at, else 224")
     return p.parse_args(argv)
+
+
+def _continue_audio(pipe, feats, args, gen):
+    """--continue-from: keep the first --known-seconds of the given audio
+    (wav or normalised mel .npy) and regenerate the rest against the video
+    features via the DDIM mask/x0 path (pipeline.inpaint)."""
+    from ..audio.transforms import wav_to_mel
+    from ..pipeline import SPEC_HW, continuation_mask, window_features
+
+    if args.known_seconds is None:
+        raise SystemExit("--continue-from requires --known-seconds")
+    src = args.continue_from
+    if src.endswith(".npy"):
+        spec = np.asarray(np.load(src), np.float32)
+        if spec.ndim != 2 or spec.shape[0] != SPEC_HW[0]:
+            raise SystemExit(
+                f"--continue-from spec must be ({SPEC_HW[0]}, frames), "
+                f"got {spec.shape}")
+    else:
+        from ..utils.wav import read_wav
+
+        wav, sr = read_wav(src)
+        if sr != pipe.melspec.sr:
+            raise SystemExit(
+                f"--continue-from wav must be {pipe.melspec.sr} Hz, got {sr}")
+        spec = np.asarray(wav_to_mel(jnp.asarray(wav), pipe.melspec))
+    w = window_features(np.asarray(feats)).shape[0]
+    need = w * SPEC_HW[1]
+    if spec.shape[1] < need:  # tile-pad to the generated length
+        reps = -(-need // spec.shape[1])
+        spec = np.tile(spec, (1, reps))
+    spec = spec[:, :need]
+    known_frames = int(round(
+        args.known_seconds * pipe.melspec.sr / pipe.melspec.hop_length))
+    mask = continuation_mask(need, min(known_frames, need))
+    return pipe.inpaint(feats, spec, mask, jax.random.PRNGKey(args.seed + 5),
+                        gen)
 
 
 def main(argv=None):
@@ -152,11 +199,19 @@ def main(argv=None):
 
     pipe = DiffFoleyPipeline(ldm, params, vae_params, classifier=classifier,
                              vae_dtype="bfloat16" if args.bf16 else None)
+    sampler = args.sampler
+    if args.continue_from and sampler not in ("ddim", "ancestral"):
+        print(f"--continue-from needs a masked-capable sampler; "
+              f"{sampler!r} -> 'ddim'")
+        sampler = "ddim"
     gen = GenerationConfig(
-        sampler=args.sampler, steps=args.steps, cfg_scale=args.cfg_scale,
+        sampler=sampler, steps=args.steps, cfg_scale=args.cfg_scale,
         classifier_scale=args.cg_scale, sample_num=args.sample_num,
     )
-    out = pipe.generate(feats, jax.random.PRNGKey(args.seed + 5), gen)
+    if args.continue_from:
+        out = _continue_audio(pipe, feats, args, gen)
+    else:
+        out = pipe.generate(feats, jax.random.PRNGKey(args.seed + 5), gen)
 
     os.makedirs(args.out, exist_ok=True)
     base = os.path.splitext(os.path.basename(args.video))[0]

@@ -157,6 +157,35 @@ class BatchingEngine:
                 r.error = str(e)
                 r.event.set()
 
+    def continue_audio(self, feats: np.ndarray, known_spec: np.ndarray,
+                       known_seconds: float) -> np.ndarray:
+        """Audio continuation through the pipeline's masked (inpaint) path:
+        keep the first `known_seconds` of `known_spec` (a normalised mel
+        image), regenerate the rest against `feats`. Runs unbatched — the
+        masked program is a different executable per window count and
+        continuation requests are rare next to plain generation."""
+        import dataclasses
+
+        from .pipeline import SPEC_HW, continuation_mask, window_features
+
+        gen = self.gen
+        if gen.sampler not in ("ddim", "ancestral"):
+            gen = dataclasses.replace(gen, sampler="ddim")
+        feats = np.asarray(feats, np.float32)
+        w = window_features(feats).shape[0]
+        need = w * SPEC_HW[1]
+        known_spec = np.asarray(known_spec, np.float32)
+        if known_spec.shape[1] < need:
+            known_spec = np.tile(
+                known_spec, (1, -(-need // known_spec.shape[1])))
+        known_spec = known_spec[:, :need]
+        frames = int(round(known_seconds * self.pipe.melspec.sr
+                           / self.pipe.melspec.hop_length))
+        mask = continuation_mask(need, min(frames, need))
+        self._key, sub = jax.random.split(self._key)
+        out = self.pipe.inpaint(feats, known_spec, mask, sub, gen)
+        return out["wav"][0]
+
     def stop(self):
         self._stop.set()
         self._thread.join(timeout=2)
@@ -208,6 +237,30 @@ class FoleyServer:
                             tmp.write(self.rfile.read(n))
                             tmp.flush()
                             feats = np.asarray(feature_fn(tmp.name), np.float32)
+                    elif self.path == "/continue":
+                        n = int(self.headers.get("Content-Length", 0))
+                        payload = json.loads(self.rfile.read(n))
+                        feats = np.asarray(payload["features"], np.float32)
+                        if "known_spec" in payload:
+                            spec = np.asarray(
+                                payload["known_spec"], np.float32)
+                        elif "known_wav" in payload:
+                            from .audio.transforms import wav_to_mel
+
+                            spec = np.asarray(wav_to_mel(
+                                np.asarray(payload["known_wav"], np.float32)))
+                        else:
+                            raise KeyError("known_spec or known_wav")
+                        wav = eng.continue_audio(
+                            feats, spec, float(payload["known_seconds"]))
+                        if wav.dtype == np.int16:
+                            wav = wav.astype(np.float32) / 32767.0
+                        self._send(200, {
+                            "sr": 16000,
+                            "num_samples": int(wav.shape[-1]),
+                            "wav": wav.astype(float).round(6).tolist(),
+                        })
+                        return
                     else:
                         self._send(404, {"error": "not found"})
                         return

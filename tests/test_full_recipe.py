@@ -246,6 +246,28 @@ def test_generate_cli_accepts_native_logdirs(recipe, tmp_path):
     s = np.load(specs[0])
     assert np.isfinite(s).all()
 
+    # --continue-from: keep the first 2 s of the just-generated spec and
+    # regenerate the rest (forces the masked DDIM path end-to-end)
+    out_dir2 = str(tmp_path / "out_cont")
+    main([
+        "--video", video, "--out", out_dir2,
+        "--cavp-ckpt", recipe["cavp"], "--ldm-ckpt", recipe["ldm"],
+        "--classifier-ckpt", recipe["classifier"],
+        "--steps", "2", "--sample-num", "1", "--cg-scale", "0.0",
+        "--frame-size", "16", "--truncate-second", "8.2",
+        "--continue-from", specs[0], "--known-seconds", "2.0",
+    ])
+    wavs2 = glob.glob(os.path.join(out_dir2, "*.wav"))
+    specs2 = glob.glob(os.path.join(out_dir2, "*_spec.npy"))
+    assert len(wavs2) == 1 and len(specs2) == 1
+    s2 = np.load(specs2[0])
+    assert np.isfinite(s2).all()
+    # the kept prefix (2 s = 125 mel frames) must match the source spec
+    # through the VAE canvas roundtrip far more closely than the free tail
+    kept = np.abs(s2[:, :120] - s[:, :120]).mean()
+    free = np.abs(s2[:, 200:] - s[:, 200:]).mean()
+    assert kept < free, (kept, free)
+
 
 def test_align_acc_cli_accepts_native_logdir(recipe, tmp_path):
     """cli.align_acc with a native classifier logdir: config, params, and

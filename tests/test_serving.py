@@ -93,6 +93,53 @@ def test_http_server(engine):
         server.shutdown()
 
 
+def test_engine_and_http_continue_audio(engine):
+    """Audio continuation through serving: the engine's masked-generation
+    path and the /continue HTTP route (known mel prefix kept, rest
+    regenerated)."""
+    from diff_foley_tpu.pipeline import SPEC_HW
+
+    rng = np.random.default_rng(2)
+    feats = rng.normal(size=(WINDOW_FEATS, 512)).astype(np.float32)
+    spec = rng.uniform(0.0, 1.0, size=(SPEC_HW[0], 128)).astype(np.float32)
+
+    wav = engine.continue_audio(feats, spec, known_seconds=2.0)
+    assert wav.shape == (131072,)
+    assert np.isfinite(np.asarray(wav, np.float32)).all()
+
+    server = FoleyServer(engine, port=0)
+    server.start_background()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/continue",
+            data=json.dumps({
+                "features": feats.tolist(),
+                "known_spec": spec.tolist(),
+                "known_seconds": 2.0,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            payload = json.loads(r.read())
+        assert payload["sr"] == 16000
+        assert payload["num_samples"] == 131072
+
+        # missing known source → 400
+        bad = urllib.request.Request(
+            f"{base}/continue",
+            data=json.dumps({"features": feats.tolist(),
+                             "known_seconds": 2.0}).encode(),
+        )
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "should 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+
+
 def test_engine_oversize_request_uses_fixed_buckets(engine):
     """Round-2 review: a request larger than max_batch_windows must be
     chunked through the fixed bucket program (bounded shapes), and the
