@@ -269,6 +269,17 @@ def bench_cavp_train(extras):
                 yield {"video": np.stack(buf_v), "spec": np.stack(buf_s)}
                 buf_v, buf_s = [], []
 
+    # loader-only steady state: C++ tar reader + threaded JPEG decode +
+    # collate, NO device work — substantiates (or refutes) the claim that
+    # the fed gap is purely the dev-tunnel link: on a real TPU VM the fed
+    # rate is min(this, device rate). Epoch 0 warms thread pool/page cache.
+    for _b in batches(0):
+        pass
+    n_l, t0 = 0, time.time()
+    for _b in batches(1):
+        n_l += B * CLIP
+    extras["cavp_loader_clips_per_s"] = round(n_l / (time.time() - t0), 1)
+
     warmup, timed_steps, n, i = 2, 0, 0, 0
     t0 = None
     for epoch in range(4):  # 64 items / 8 = 8 steps per epoch

@@ -4,7 +4,7 @@ guidance 50): how much of each DPM-Solver++ step is the 2x-batch CFG UNet
 call vs the alignment-classifier gradient vs solver arithmetic.
 
 Run ON the TPU, quiet machine:  python scripts/profile_sampler_step.py
-Appends a "sampler_step" section to PROFILE_r03.json.
+Appends a "sampler_step" section to PROFILE_r05.json.
 """
 import dataclasses
 import json
@@ -103,11 +103,11 @@ def main():
         100.0 * (res["full_eps_ms"] - res["cfg_eps_ms"]) / res["full_eps_ms"], 1)
     print(json.dumps(res, indent=1))
 
-    path = os.path.join(os.path.dirname(__file__), "..", "PROFILE_r03.json")
+    path = os.path.join(os.path.dirname(__file__), "..", "PROFILE_r05.json")
     prof = json.load(open(path))
     prof["sampler_step"] = res
     json.dump(prof, open(path, "w"), indent=1)
-    print("appended sampler_step to PROFILE_r03.json")
+    print("appended sampler_step to PROFILE_r05.json")
 
 
 if __name__ == "__main__":

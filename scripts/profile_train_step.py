@@ -4,7 +4,7 @@ answers where the gap between 41.7% train MFU and the 51.6% forward MFU
 lives (bwd convs, VAE encode, optimizer update).
 
 Run ON the TPU, quiet machine:  python scripts/profile_train_step.py
-Appends a "train_step" section to PROFILE_r03.json.
+Appends a "train_step" section to PROFILE_r05.json.
 """
 import json
 import os
@@ -114,7 +114,7 @@ def main():
         }
 
     out = os.path.abspath(os.path.join(
-        os.path.dirname(__file__), "..", "PROFILE_r03.json"))
+        os.path.dirname(__file__), "..", "PROFILE_r05.json"))
     with open(out) as f:
         record = json.load(f)
     record["train_step"] = section

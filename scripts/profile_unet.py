@@ -1,7 +1,7 @@
 """Device-time attribution for the flagship UNet forward (round-2 VERDICT
 weak #3 / directive #2a): capture a jax profiler trace of the bf16+Pallas
 UNet at the headline operating point, parse the XSpace protobuf, and commit
-the top fusions by % device time as PROFILE_r03.json.
+the top fusions by % device time as PROFILE_r05.json.
 
 Run ON the TPU, quiet machine:  python scripts/profile_unet.py
 """
@@ -152,7 +152,7 @@ def main():
         }
 
     out = os.path.abspath(os.path.join(
-        os.path.dirname(__file__), "..", "PROFILE_r03.json"))
+        os.path.dirname(__file__), "..", "PROFILE_r05.json"))
     with open(out, "w") as f:
         json.dump(record, f, indent=2)
     print(json.dumps(record, indent=2)[:4000])

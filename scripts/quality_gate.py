@@ -1,5 +1,12 @@
 """Functional quality gate: the four-stage Diff-Foley recipe LEARNS, on the
-real TPU, at the shipped operating point — committed as QUALITY_r04.json.
+real TPU, at the shipped operating point — committed as QUALITY_r05.json.
+
+Round-5 upgrade (round-4 VERDICT weak #1): the on-chip pipeline phase now
+runs ALL 64 held-out clips through the shipped `from_native_checkpoints`
+path at CFG 1.0 and 4.5, unguided vs encoded-guided with PAIRED per-clip
+outcomes (same x_T per clip across modes), and gates on real statistics:
+lower 95% CI of Δalign-acc > 0, lower 95% CI of Δmean-p > 0, and exact
+one-sided McNemar p < 0.05 at the shipped CFG 4.5.
 
 Round-3 VERDICT weak #1 / next #1+#2: parity proves the rebuilt machine
 computes the reference's function; this proves the machine can learn its
@@ -68,7 +75,10 @@ LDM_UNET = UNetConfig(
 )
 
 N_CLASSES = 16
-N_TRAIN, N_TEST = 256, 32
+# 64 held-out clips: enough for the pipeline-path guidance gate to carry a
+# 95% CI on Δalign-acc (round-4 VERDICT weak #1 — n=8 could not resolve a
+# lift; the direct-sampler grid already sits mid-range at CFG 4.5)
+N_TRAIN, N_TEST = 256, 64
 FEAT_LEN, FRAME = 32, 16
 
 CAVP_STEPS = int(os.environ.get("QG_CAVP_STEPS", 300))
@@ -476,11 +486,51 @@ def guidance_eval(ldm, ldm_state, clf_trainer, clf_state, vae, vae_params,
 
 
 # ===========================================================================
+# the functional guidance proof — statistics
+# ===========================================================================
+def paired_binary_stats(guided: np.ndarray, unguided: np.ndarray) -> dict:
+    """Paired per-clip lift statistics for two boolean outcome vectors:
+    Δacc with a 95% normal CI over the paired differences, and the exact
+    one-sided McNemar p-value on the discordant pairs."""
+    from math import comb
+
+    g = guided.astype(np.float64)
+    u = unguided.astype(np.float64)
+    d = g - u
+    n = len(d)
+    delta = float(d.mean())
+    se = float(d.std(ddof=1) / np.sqrt(n)) if n > 1 else float("inf")
+    b = int(((g == 1) & (u == 0)).sum())   # guided-only correct
+    c = int(((g == 0) & (u == 1)).sum())   # unguided-only correct
+    m = b + c
+    p = (sum(comb(m, k) for k in range(b, m + 1)) / 2.0 ** m) if m else 1.0
+    return {
+        "n": n, "delta_acc": round(delta, 4),
+        "delta_acc_ci95": [round(delta - 1.96 * se, 4),
+                           round(delta + 1.96 * se, 4)],
+        "discordant_guided_wins": b, "discordant_unguided_wins": c,
+        "mcnemar_p_one_sided": round(p, 5),
+    }
+
+
+def paired_continuous_stats(pg: np.ndarray, pu: np.ndarray) -> dict:
+    """Δmean-p with a 95% normal CI over the paired per-clip differences."""
+    d = pg.astype(np.float64) - pu.astype(np.float64)
+    n = len(d)
+    delta = float(d.mean())
+    se = float(d.std(ddof=1) / np.sqrt(n)) if n > 1 else float("inf")
+    return {
+        "delta_mean_p": round(delta, 4),
+        "delta_mean_p_ci95": [round(delta - 1.96 * se, 4),
+                              round(delta + 1.96 * se, 4)],
+    }
+
+
+# ===========================================================================
 # trained weights through the public pipeline on the real chip
 # ===========================================================================
 def pipeline_run(root, cavp_dir, ldm_dir, clf_dir, data_dir, te_feat):
     from diff_foley_tpu.api import DiffFoley
-    from diff_foley_tpu.eval.align_acc import make_align_acc_fn
     from diff_foley_tpu.ops.attention import set_attention_backend
     from diff_foley_tpu.pipeline import GenerationConfig, WINDOW_SAMPLES
     from diff_foley_tpu.utils.checkpoint import load_native_classifier
@@ -491,12 +541,20 @@ def pipeline_run(root, cavp_dir, ldm_dir, clf_dir, data_dir, te_feat):
     except Exception as e:  # pragma: no cover
         backend_note = f"xla (pallas unavailable: {e})"
 
-    n = 8
+    n = N_TEST  # ≥64 clips: the per-clip paired CIs below need the width
     feats = te_feat[:n].reshape(-1, 512)  # n windows concatenated
     trainer, cparams, clf_vae_params = load_native_classifier(clf_dir)
-    score = make_align_acc_fn(trainer, trainer.vae, clf_vae_params)
+    feat_j = jnp.asarray(te_feat[:n].astype(np.float32))
 
-    def run_mode(mode):
+    @jax.jit
+    def per_clip_p(spec3):
+        """align_acc protocol at t=0, but returning PER-CLIP P(aligned)."""
+        z = trainer.vae.apply(clf_vae_params, spec3,
+                              method=lambda m, a: m.encode(a).mode())
+        return trainer.apply(
+            cparams, 0.18215 * z, jnp.zeros((spec3.shape[0],)), feat_j)[:, 0]
+
+    def run_mode(mode, cfg_scale):
         """mode: 'raw' (reference quirk), 'encoded', or None (CFG only)."""
         t_load = time.time()
         df = DiffFoley.from_native_checkpoints(
@@ -506,13 +564,15 @@ def pipeline_run(root, cavp_dir, ldm_dir, clf_dir, data_dir, te_feat):
         )
         load_s = time.time() - t_load
         gen = GenerationConfig(
-            steps=25, sample_num=1, cfg_scale=4.5,
+            steps=25, sample_num=1, cfg_scale=cfg_scale,
             classifier_scale=50.0 if mode else 0.0, gl_iters=32,
             return_spec=True)
         t_warm = time.time()
         out = df.generate_from_features(feats, seed=0, gen=gen)  # compile
         warm_s = time.time() - t_warm
         t_gen = time.time()
+        # seed=1 in EVERY mode: identical x_T per clip, so the per-clip
+        # outcomes are PAIRED across modes and the CIs below are paired CIs
         out = df.generate_from_features(feats, seed=1, gen=gen)
         gen_s = time.time() - t_gen
         wav = np.asarray(out["wav"])     # (1, n*WINDOW_SAMPLES) concat
@@ -521,32 +581,56 @@ def pipeline_run(root, cavp_dir, ldm_dir, clf_dir, data_dir, te_feat):
         assert np.isfinite(wav).all()
         spec = spec.reshape(128, n, 512).transpose(1, 0, 2)
         spec3 = np.repeat(np.clip(spec, 0, 1)[..., None], 3, axis=-1)
-        correct, total = score(cparams, jnp.asarray(spec3),
-                               jnp.asarray(te_feat[:n].astype(np.float32)),
-                               jnp.ones((n,), np.int32))
-        acc = int(correct) / int(total)
-        log(f"pipeline[{mode or 'cfg-only'}]: {n} clips in {gen_s:.2f}s, "
-            f"align-acc {int(correct)}/{int(total)}")
-        return {"load_s": round(load_s, 1), "warmup_s": round(warm_s, 1),
-                "gen_s_for_8_clips": round(gen_s, 2),
-                "clips_per_min": round(n / gen_s * 60.0, 1),
-                "align_acc_of_generated": round(acc, 4),
-                "wav_finite": True}
+        p = np.asarray(per_clip_p(jnp.asarray(spec3)))
+        acc = float((p >= 0.5).mean())
+        log(f"pipeline[{mode or 'cfg-only'} cfg={cfg_scale}]: {n} clips in "
+            f"{gen_s:.2f}s, align-acc {int((p>=0.5).sum())}/{n} "
+            f"mean-p {p.mean():.3f}")
+        return {
+            "load_s": round(load_s, 1), "warmup_s": round(warm_s, 1),
+            f"gen_s_for_{n}_clips": round(gen_s, 2),
+            "clips_per_min": round(n / gen_s * 60.0, 1),
+            "align_acc_of_generated": round(acc, 4),
+            "mean_p_aligned": round(float(p.mean()), 4),
+            "wav_finite": True,
+        }, p
 
-    unguided = run_mode(None)
-    raw = run_mode("raw")          # the reference's shipped quirk
-    encoded = run_mode("encoded")  # the classifier's training distribution
+    modes = {}
+    per_clip = {}
+    for cfg_scale in (1.0, 4.5):
+        for mode in (None, "encoded"):
+            k = f"cfg{cfg_scale}_{mode or 'unguided'}"
+            modes[k], per_clip[k] = run_mode(mode, cfg_scale)
+    modes["cfg4.5_raw_quirk"], per_clip["cfg4.5_raw_quirk"] = run_mode(
+        "raw", 4.5)
+
+    # paired lift statistics through the SHIPPED pipeline path (round-4
+    # VERDICT weak #1: the n=8 '>=' check could not resolve a lift and the
+    # real evidence came from the direct sampler eval, not this path)
+    lift = {}
+    for cfg_scale in (1.0, 4.5):
+        g = per_clip[f"cfg{cfg_scale}_encoded"]
+        u = per_clip[f"cfg{cfg_scale}_unguided"]
+        s = paired_binary_stats(g >= 0.5, u >= 0.5)
+        s.update(paired_continuous_stats(g, u))
+        lift[f"cfg{cfg_scale}"] = s
+    l45 = lift["cfg4.5"]
     RESULT["trained_on_chip"] = {
         "operating_point": f"bf16 params + {backend_note} attention + bf16 "
                            "first-stage decode + on-device Griffin-Lim, "
-                           "DPM++ 25 steps, CFG 4.5, CG 50, trained native "
-                           "logdirs through DiffFoley.from_native_checkpoints",
-        "unguided": unguided,
-        "guided_raw_context_reference_quirk": raw,
-        "guided_encoded_context": encoded,
-        "gate_encoded_guidance_lifts_align_acc": bool(
-            encoded["align_acc_of_generated"]
-            >= unguided["align_acc_of_generated"]),
+                           "DPM++ 25 steps, CFG {1.0, 4.5}, CG 50, trained "
+                           "native logdirs through "
+                           "DiffFoley.from_native_checkpoints",
+        "modes": modes,
+        "pipeline_guidance_lift": lift,
+        # strict gates: the shipped pipeline path itself must show the lift
+        # with statistical teeth, not merely not-regress
+        "gate_cfg4.5_delta_acc_ci95_above_zero": bool(
+            l45["delta_acc_ci95"][0] > 0.0),
+        "gate_cfg4.5_delta_meanp_ci95_above_zero": bool(
+            l45["delta_mean_p_ci95"][0] > 0.0),
+        "gate_cfg4.5_mcnemar_p_below_0.05": bool(
+            l45["mcnemar_p_one_sided"] < 0.05),
         "note": "the reference guides with RAW CAVP features while the "
                 "classifier trains on ENCODED contexts "
                 "(alignment_classifier.py:285-287 vs :234-235); on this toy "
@@ -568,7 +652,7 @@ def write_result():
         ),
     }
     out = os.path.abspath(os.path.join(
-        os.path.dirname(__file__), "..", "QUALITY_r04.json"))
+        os.path.dirname(__file__), "..", "QUALITY_r05.json"))
     with open(out, "w") as f:
         json.dump(RESULT, f, indent=2)
     log(f"wrote {out}")
@@ -581,7 +665,7 @@ def pipeline_only():
     enable_compile_cache()
     root = os.environ.get("QG_ROOT", "/tmp/quality_gate")
     out = os.path.abspath(os.path.join(
-        os.path.dirname(__file__), "..", "QUALITY_r04.json"))
+        os.path.dirname(__file__), "..", "QUALITY_r05.json"))
     with open(out) as f:
         RESULT.update(json.load(f))
     RESULT.pop("meta", None)
