@@ -1,7 +1,7 @@
 """Serving-under-load artifact (round-2 VERDICT weak/next #8): N concurrent
 clients with mixed window counts against the BatchingEngine on the flagship
 pipeline. Reports request latency p50/p95, bucket-hit rate (steady-state
-recompiles must be zero), and batch occupancy. Writes SERVING_r04.json.
+recompiles must be zero), and batch occupancy. Writes SERVING_r05.json.
 
 Round-3 weak #6: run TWICE to also record the warm-restart number an
 operator actually cares about — the first run populates the persistent XLA
@@ -156,7 +156,7 @@ def main():
         "aot_all_restored": aot_loaded,
     }
     out = os.path.abspath(os.path.join(
-        os.path.dirname(__file__), "..", "SERVING_r04.json"))
+        os.path.dirname(__file__), "..", "SERVING_r05.json"))
     if os.path.exists(out):
         # second run with the compile cache populated: keep the cold-run
         # load-phase numbers, record this run's warmup as the warm-restart
