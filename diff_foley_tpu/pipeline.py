@@ -227,8 +227,8 @@ class DiffFoleyPipeline:
     # latent region is re-imposed every sampler step (ddim.py:210-213 via
     # diffusion/samplers.py mask/x0; parity: tests/test_ancestral_inpaint_parity.py)
     @partial(jax.jit, static_argnames=("self", "gen"))
-    def _inpaint_fused(self, params, vae_params, feats_w, spec_w, mask_lat,
-                       k_s, k_g, gen):
+    def _inpaint_fused(self, params, vae_params, clf_params, feats_w, spec_w,
+                       mask_lat, k_s, k_g, gen):
         s = gen.sample_num
         cond = jnp.repeat(feats_w, s, axis=0)
         x_img = jnp.repeat(spec_w[..., None], 3, axis=-1)  # mel → 3-ch image
@@ -240,13 +240,15 @@ class DiffFoleyPipeline:
         z0 = jnp.repeat(z0.astype(jnp.float32), s, axis=0)
         mask = jnp.repeat(mask_lat, s, axis=0)
         use_clf = gen.classifier_scale > 0 and self.classifier is not None
+        # classifier params as runtime args, like _generate_fused
+        clf = (self.classifier[0], clf_params) if use_clf else None
         z = self.ldm.sample(
             params, cond, k_s,
             latent_hw=LATENT_HW,
             sampler=gen.sampler,
             steps=gen.steps,
             cfg_scale=gen.cfg_scale,
-            classifier=self.classifier if use_clf else None,
+            classifier=clf,
             classifier_scale=gen.classifier_scale if use_clf else 0.0,
             mask=mask, x0=z0,
             **dict(gen.solver_opts),
@@ -465,8 +467,8 @@ class DiffFoleyPipeline:
         wp = feats_j.shape[0]
         k_s, k_g = jax.random.split(key)
         specs, wavs = self._inpaint_fused(
-            self.params, self.vae_params, feats_j, spec_j, mask_j,
-            k_s, k_g, gen,
+            self.params, self.vae_params, self._clf_runtime_params(),
+            feats_j, spec_j, mask_j, k_s, k_g, gen,
         )
         return self._pack_outputs(specs, wavs, wp, w, gen)
 
