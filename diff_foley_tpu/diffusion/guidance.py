@@ -51,6 +51,7 @@ def make_guided_eps_fn(
     spec: GuidanceSpec,
     classifier_fn: Optional[ClassifierFn] = None,
     classifier_cond: Optional[jnp.ndarray] = None,
+    model_type: str = "noise",
 ):
     """Build eps_fn(x, t_model, s_t) -> guided ε.
 
@@ -58,7 +59,21 @@ def make_guided_eps_fn(
       keeps the MXU fed with a single large batch instead of two small ones.
     - Classifier gradient is taken at the *unguided* x (matching the
       reference, which differentiates log p w.r.t. x_t directly).
+    - `model_type` declares the network's parameterisation à la the
+      reference model_wrapper (dpm_solver.py:177-349): "noise" (ε, the
+      shipped Diff-Foley case), "x_start" (x₀) or "v". The raw output is
+      converted to ε BEFORE the classifier term is added — the reference
+      order (noise_pred_fn first, then `noise - scale·σ·∇`,
+      dpm_solver.py:335-348 / 1377-1393). The CFG combine commutes with the
+      conversion (ε is affine in the raw output with combine weights
+      summing to 1), so one combined conversion is exact. α_t is recovered
+      from the supplied σ_t via α=√(1−σ²), exact for the VP schedules the
+      solver library supports (NoiseScheduleVP asserts VP).
     """
+    if model_type not in ("noise", "x_start", "v"):
+        raise ValueError(
+            f"model_type must be 'noise', 'x_start' or 'v' "
+            f"(dpm_solver.py:349), got {model_type!r}")
     if spec.use_cfg:
         assert uncond is not None, "CFG needs an unconditional embedding"
         c_in = jnp.concatenate([uncond, cond], axis=0)
@@ -72,14 +87,23 @@ def make_guided_eps_fn(
 
         grad_fn = jax.grad(log_prob_sum)
 
+    def to_eps(x, out, s_t):
+        if model_type == "noise":
+            return out
+        a_t = jnp.sqrt(1.0 - jnp.square(s_t))
+        if model_type == "x_start":  # ε = (x − α·x₀)/σ   (:303-306)
+            return (x - a_t * out) / s_t
+        return a_t * out + s_t * x   # "v": ε = α·v + σ·x (:307-310)
+
     def eps_fn(x, t_model, s_t):
         if spec.use_cfg:
             x_in = jnp.concatenate([x, x], axis=0)
             t_in = jnp.concatenate([t_model, t_model], axis=0)
-            e_uncond, e_cond = jnp.split(model_fn(x_in, t_in, c_in), 2, axis=0)
-            eps = e_uncond + spec.cfg_scale * (e_cond - e_uncond)
+            o_uncond, o_cond = jnp.split(model_fn(x_in, t_in, c_in), 2, axis=0)
+            out = o_uncond + spec.cfg_scale * (o_cond - o_uncond)
         else:
-            eps = model_fn(x, t_model, cond)
+            out = model_fn(x, t_model, cond)
+        eps = to_eps(x, out, s_t)
         if spec.use_classifier:
             grad = grad_fn(x, t_model)
             eps = eps - s_t * spec.classifier_scale * grad

@@ -258,9 +258,18 @@ class LatentDiffusion:
                 return jax.nn.log_sigmoid(logits)
 
         spec = GuidanceSpec(cfg_scale=cfg_scale, classifier_scale=classifier_scale)
+        # model_type (solver library surface, dpm only): the raw-output→ε
+        # conversion must happen INSIDE the guided fn, before the classifier
+        # term (reference order, dpm_solver.py:335-348) — popping it here
+        # hands the solver a plain ε-model so it never converts twice.
+        model_type = (
+            solver_kwargs.pop("model_type", "noise")
+            if sampler == "dpm" else "noise"
+        )
         eps_fn = make_guided_eps_fn(
             lambda x, t, c: self.apply_model(params, x, t, c),
             context, uncond, spec, classifier_fn, classifier_cond,
+            model_type=model_type,
         )
 
         k_init, k_samp = jax.random.split(key)

@@ -507,7 +507,11 @@ class _DPMModel:
     predict "noise" (ε, the shipped Diff-Foley case), "x_start" (x₀), or
     "v" (velocity); the raw output is converted to ε first — the same
     order of operations as the reference's noise_pred_fn → model_fn —
-    before the solver's ε→x₀ conversion."""
+    before the solver's ε→x₀ conversion. This conversion is for RAW
+    (unguided) model functions handed straight to dpm_solver_sample;
+    guided fns built by LatentDiffusion.sample arrive already converted
+    (guidance must compose AFTER the conversion — guidance.py), so the
+    LDM path always passes model_type="noise" down here."""
 
     def __init__(self, eps_fn, predict_x0, thresholding, max_val,
                  model_type="noise"):

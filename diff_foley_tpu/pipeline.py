@@ -319,7 +319,12 @@ class DiffFoleyPipeline:
             return specs, _pack_wav(wavs, gen.wav_dtype)
 
         clf_params = self._clf_runtime_params()
-        use_clf = gen.classifier_scale > 0 and self.classifier is not None
+        # clf_params is a runtime INPUT of the lowered program whether or not
+        # guidance is enabled (classifier_scale only gates the guidance term,
+        # which `gen=repr(gen)` already keys), so the key must always carry
+        # the classifier's tree structure: a no-classifier process and a
+        # classifier-attached process must never share an executable — their
+        # argument pytrees differ.
         clf_fp = "none"
         if self.classifier is not None:
             fn = self.classifier[0]
@@ -336,11 +341,18 @@ class DiffFoleyPipeline:
         report = {}
         for w in window_buckets:
             w = int(w)
+            if self.mesh is not None and w % self.mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"bucket {w} does not divide over the data-mesh axis "
+                    f"({self.mesh.shape['data']}); meshed dispatch rounds "
+                    "buckets up — warm the rounded bucket instead "
+                    "(BatchingEngine.aot_warmup does this automatically)"
+                )
             path = os.path.join(d, cache_key(
                 f"fused-w{w}", gen=repr(gen), mel=repr(self.melspec),
                 vae_dtype=str(self.vae_compute),
                 unet=repr(self.ldm.cfg),
-                clf=clf_fp if use_clf else "unused",
+                clf=clf_fp,
                 topo=repr(topo),
             ))
             t0 = _time.time()

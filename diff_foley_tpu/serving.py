@@ -60,6 +60,9 @@ class BatchingEngine:
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._key = jax.random.PRNGKey(seed)
+        # continue_audio splits the key from HTTP handler threads while the
+        # batcher thread splits it in _run: serialize the read-split-write
+        self._key_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -115,6 +118,18 @@ class BatchingEngine:
                 buckets.append(b)
                 b *= 2
             buckets.append(self.max_windows)
+        if self.pipe.mesh is not None:
+            # _run rounds every bucket up to a multiple of the data-mesh
+            # degree before dispatch; warm exactly the reachable set (the
+            # raw power-of-two ladder would lower shapes that can't shard)
+            d = self.pipe.mesh.shape["data"]
+            seen, reachable = set(), []
+            for b in buckets:
+                r = -(-int(b) // d) * d
+                if r not in seen:
+                    seen.add(r)
+                    reachable.append(r)
+            buckets = reachable
         return self.pipe.aot_warmup(buckets, self.gen, cache_dir=cache_dir)
 
     @staticmethod
@@ -137,7 +152,8 @@ class BatchingEngine:
             if self.pipe.mesh is not None:  # bucket must divide over `data`
                 d = self.pipe.mesh.shape["data"]
                 bucket = -(-bucket // d) * d
-            self._key, sub = jax.random.split(self._key)
+            with self._key_lock:
+                self._key, sub = jax.random.split(self._key)
             # bucket_windows pads/chunks internally and trims the padding,
             # so the output covers exactly n_windows
             out = self.pipe.generate(
@@ -182,7 +198,8 @@ class BatchingEngine:
         frames = int(round(known_seconds * self.pipe.melspec.sr
                            / self.pipe.melspec.hop_length))
         mask = continuation_mask(need, min(frames, need))
-        self._key, sub = jax.random.split(self._key)
+        with self._key_lock:
+            self._key, sub = jax.random.split(self._key)
         out = self.pipe.inpaint(feats, known_spec, mask, sub, gen)
         return out["wav"][0]
 
@@ -247,8 +264,15 @@ class FoleyServer:
                         elif "known_wav" in payload:
                             from .audio.transforms import wav_to_mel
 
+                            mel = eng.pipe.melspec
+                            sr = int(payload.get("sr", mel.sr))
+                            if sr != mel.sr:
+                                raise ValueError(
+                                    f"known_wav must be {mel.sr} Hz, got {sr}"
+                                )
                             spec = np.asarray(wav_to_mel(
-                                np.asarray(payload["known_wav"], np.float32)))
+                                np.asarray(payload["known_wav"], np.float32),
+                                mel))
                         else:
                             raise KeyError("known_spec or known_wav")
                         wav = eng.continue_audio(
@@ -256,7 +280,7 @@ class FoleyServer:
                         if wav.dtype == np.int16:
                             wav = wav.astype(np.float32) / 32767.0
                         self._send(200, {
-                            "sr": 16000,
+                            "sr": eng.pipe.melspec.sr,
                             "num_samples": int(wav.shape[-1]),
                             "wav": wav.astype(float).round(6).tolist(),
                         })
@@ -268,7 +292,7 @@ class FoleyServer:
                     if wav.dtype == np.int16:  # wav_dtype="int16" pipelines
                         wav = wav.astype(np.float32) / 32767.0
                     self._send(200, {
-                        "sr": 16000,
+                        "sr": eng.pipe.melspec.sr,
                         "num_samples": int(wav.shape[-1]),
                         "wav": wav.astype(float).round(6).tolist(),
                     })

@@ -246,6 +246,71 @@ def test_dpm_model_type_rejects_unknown():
         dpm_solver_sample(eps_fn, SCHED, x_T, steps=4, model_type="score")
 
 
+@pytest.mark.parametrize("model_type", ["x_start", "v"])
+def test_dpm_model_type_classifier_guided_parity_vs_reference_torch(model_type):
+    """Ordering pin: with a non-ε parameterisation, the raw output must be
+    converted to ε BEFORE the classifier term is added (reference
+    model_fn: noise_pred_fn converts, then `noise − scale·σ·∇`,
+    dpm_solver.py:322-336).  Converting after — i.e. treating the guided sum
+    as the raw output — gives a different trajectory, so bit-parity vs the
+    torch wrapper with guidance_type='classifier' pins the order."""
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    from diff_foley.models.diffusion.dpm_solver.dpm_solver import (
+        DPM_Solver,
+        NoiseScheduleVP,
+        model_wrapper,
+    )
+
+    torch_model, _, ac_np, x_T_np = _parity_pair()
+    g_scale = 6.0
+
+    # layout-agnostic classifier: log p = −0.005·Σx² + 0.001·Σt  (∇ₓ = −0.01x)
+    def torch_classifier(x, t, condition):
+        return (-0.005 * (x ** 2).sum(dim=(1, 2, 3))
+                + 0.001 * t.to(x.dtype))
+
+    ns = NoiseScheduleVP("discrete", alphas_cumprod=torch.from_numpy(ac_np))
+    wrapped = model_wrapper(
+        torch_model, ns, model_type=model_type, guidance_type="classifier",
+        guidance_scale=g_scale, classifier_fn=torch_classifier,
+        condition=torch.zeros(x_T_np.shape[0]),
+    )
+    solver = DPM_Solver(wrapped, ns, predict_x0=True)
+    ref = solver.sample(
+        torch.from_numpy(x_T_np), steps=12, skip_type="time_uniform",
+        method="multistep", order=2, lower_order_final=True,
+    ).detach().numpy()
+
+    # jax side: the guided fn converts raw→ε itself (guidance.py), so the
+    # solver is handed a plain ε-model — the LatentDiffusion.sample wiring.
+    from diff_foley_tpu.diffusion.guidance import (
+        GuidanceSpec, make_guided_eps_fn,
+    )
+
+    _, raw_eps_fn, _, _ = _parity_pair()
+
+    def model_fn(x, t, c):  # cond-ignoring raw model in its own param.
+        return raw_eps_fn(x, t, None)
+
+    def jax_classifier(x, t, ctx):
+        return (-0.005 * jnp.sum(x ** 2, axis=(1, 2, 3))
+                + 0.001 * t.astype(x.dtype))[:, None]
+
+    cond = jnp.zeros((x_T_np.shape[0], 1, 1))
+    guided = make_guided_eps_fn(
+        model_fn, cond, None,
+        GuidanceSpec(cfg_scale=1.0, classifier_scale=g_scale),
+        classifier_fn=jax_classifier, classifier_cond=cond,
+        model_type=model_type,
+    )
+    x_T = jnp.asarray(x_T_np.transpose(0, 2, 3, 1))
+    out = dpm_solver_sample(guided, SCHED, x_T, steps=12,
+                            method="multistep", order=2)
+    out_nchw = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out_nchw, ref, rtol=3e-4, atol=3e-4)
+
+
 def test_dpm_multistep3_lower_order_tail_reference_quirk():
     """Reference quirk: multistep order-3 with steps<15 CRASHES upstream —
     the lower_order_final tail calls multistep_dpm_solver_second_update with a
