@@ -55,3 +55,35 @@ def multi_head_attention(
 
         return flash_attention(q, k, v, scale=scale)
     return _xla_attention(q, k, v, scale)
+
+
+def multi_head_attention_packed(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    scale: float | None = None,
+    backend: str | None = None,
+) -> jnp.ndarray:
+    """Attention over PACKED (B, L, H·D) projections — heads still on the
+    lane (minor) axis, exactly as the to_q/to_k/to_v Dense layers emit them.
+
+    Under the Pallas backend this avoids the (B,L,H,D)→(B,H,L,D) transposes
+    XLA must materialise at a custom-call boundary AND the T(8,128) lane
+    padding of per-head D=40/80 operands (3.2× HBM traffic) — see
+    ops/pallas_attention.py packed-heads section. Under the XLA backend the
+    split/merge below fuses into the einsums, producing the exact HLO the
+    historical unpacked call produced (bit-identical)."""
+    d = q.shape[-1] // heads
+    if scale is None:
+        scale = d**-0.5
+    be = backend or _BACKEND
+    if be == "pallas":
+        from .pallas_attention import flash_attention_packed
+
+        return flash_attention_packed(q, k, v, scale, heads)
+    from .pallas_attention import _merge_heads, _split_heads
+
+    return _merge_heads(_xla_attention(
+        _split_heads(q, heads), _split_heads(k, heads),
+        _split_heads(v, heads), scale))

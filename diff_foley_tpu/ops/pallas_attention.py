@@ -267,3 +267,147 @@ def _bwd(scale, res, g):
 
 
 flash_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Packed-heads forward: consume the projection output (B, L, H·D) directly.
+#
+# Motivation (PROFILE_r05.json): with per-head (B·H, L, D) operands the
+# custom-call boundary is expensive in ways the kernel itself never sees —
+# (a) XLA must MATERIALISE the (B, L, H, D)→(B, H, L, D) transposes on both
+# sides of every call (the 7.6% `copy` bucket + off-layout residual
+# `add_add_fusion`s running ~10× over add roofline), and (b) the TPU tiled
+# layout T(8,128) pads the minor dim D=40→128, so every HBM byte of q/k/v/o
+# is fetched 3.2× (bf16[128,1024,40] occupies 33.5 MB physical). Packing
+# heads on the lane axis keeps the minor dim at H·D (320/640/1280 — ≤20%
+# tile pad), and the operand layout equals the producing Dense's natural
+# output layout, so NO transpose or copy exists at the boundary. Head
+# extraction becomes static in-VMEM lane slices inside the kernel (a VPU
+# relayout, ~KBs), and the per-head math is identical to _attn_kernel.
+#
+# The grid streams query chunks (grid = (B, Lq/Qc)) so the fp32 (Qc, Lk)
+# score scratch bounds VMEM; K/V ride as full per-batch blocks revisited
+# across chunks (sequential TPU grids skip the re-fetch).
+# ---------------------------------------------------------------------------
+
+
+def _attn_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                        heads: int, d: int, d_pad: int):
+    q = q_ref[0]                      # (Qc, H·D)
+    k = k_ref[0]                      # (Lk, H·D)
+    v = v_ref[0]
+    outs = []
+    for h in range(heads):            # static unroll: slices are lane-static
+        qh = _pad_lanes(q[:, h * d:(h + 1) * d], d_pad)
+        kh = _pad_lanes(k[:, h * d:(h + 1) * d], d_pad)
+        vh = v[:, h * d:(h + 1) * d]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                     # (Qc, Lk) fp32; no padded keys
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))                            # (Qc, D) fp32
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _packed_q_chunk(lq: int, lk: int, hd: int, d: int,
+                    itemsize: int) -> int | None:
+    """Largest query-chunk for which one grid step fits VMEM: K/V blocks
+    (×2 for double buffering), Q/O chunks (×2), one head's fp32 score +
+    prob scratch, the padded per-head operands, and the fp32 concat
+    staging; None → fall back to the split-heads path."""
+    lk_pad = _round_up(lk, 128)
+    d_pad = _round_up(d, 128)
+    fixed = 2 * 2 * lk * hd * itemsize + lk * d_pad * itemsize
+    if fixed > 7 * 1024 * 1024:
+        return None
+    for qc in (lq, 512, 256, 128, 64, 32, 16, 8):
+        if qc > lq or lq % qc:
+            continue
+        per = (
+            2 * 2 * qc * hd * itemsize        # q + out blocks, ×2 buffers
+            + qc * lk_pad * (4 + itemsize)    # fp32 scores + low-prec probs
+            + qc * d_pad * itemsize           # padded qh
+            + qc * hd * 4                     # fp32 concat staging
+        )
+        if fixed + per <= 9 * 1024 * 1024:
+            return qc
+    return None
+
+
+def _pallas_forward_packed(q3, k3, v3, scale: float, heads: int):
+    b, lq, hd = q3.shape
+    lk = k3.shape[1]
+    d = hd // heads
+    d_pad = _round_up(d, 128)
+    qc = _packed_q_chunk(lq, lk, hd, d, q3.dtype.itemsize)
+    kv_spec = pl.BlockSpec((1, lk, hd), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((1, qc, hd), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_attn_packed_kernel, scale=scale, heads=heads, d=d,
+                d_pad=d_pad),
+        grid=(b, lq // qc),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, lq, hd), q3.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * heads * (lq * lk * d_pad * 2),
+            bytes_accessed=(q3.size * 2 + k3.size + v3.size)
+            * q3.dtype.itemsize,
+            transcendentals=b * heads * lq * lk,
+        ),
+    )(q3, k3, v3)
+
+
+def _split_heads(t, heads: int):
+    b, l, hd = t.shape
+    return t.reshape(b, l, heads, hd // heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(t):
+    b, h, l, d = t.shape
+    return t.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_packed(q3, k3, v3, scale: float, heads: int):
+    """flash_attention over packed (B, L, H·D) operands — no transpose or
+    layout copy at the custom-call boundary (see module comment above)."""
+    hd = q3.shape[-1]
+    d = hd // heads
+    if (
+        hd % heads
+        or _packed_q_chunk(q3.shape[1], k3.shape[1], hd, d,
+                           q3.dtype.itemsize) is None
+    ):
+        return _merge_heads(flash_attention(
+            _split_heads(q3, heads), _split_heads(k3, heads),
+            _split_heads(v3, heads), scale))
+    return _pallas_forward_packed(q3, k3, v3, scale, heads)
+
+
+def _packed_fwd(q3, k3, v3, scale, heads):
+    return flash_attention_packed(q3, k3, v3, scale, heads), (q3, k3, v3)
+
+
+def _packed_bwd(scale, heads, res, g3):
+    # reuse the per-head backward (chunked Pallas kernel or XLA recompute —
+    # same dispatch as flash_attention's own vjp); the split/merge
+    # transposes here run inside the backward pass only, where today's
+    # unpacked forward already pays them
+    q3, k3, v3 = res
+    dq, dk, dv = _bwd(scale, (_split_heads(q3, heads),
+                              _split_heads(k3, heads),
+                              _split_heads(v3, heads)),
+                      _split_heads(g3, heads))
+    return _merge_heads(dq), _merge_heads(dk), _merge_heads(dv)
+
+
+flash_attention_packed.defvjp(_packed_fwd, _packed_bwd)

@@ -253,6 +253,13 @@ class DiffFoleyPipeline:
             mask=mask, x0=z0,
             **dict(gen.solver_opts),
         )
+        # Final known-region composite. The per-step blend (ddim.py:210-213)
+        # pins the TRAJECTORY, but the last model update still rewrites the
+        # known region by one denoise step — at small step counts that
+        # leaves it between "known" and "generated". The pipeline contract
+        # is "mask=1 is KEPT", so re-impose the canvas exactly before
+        # decode; generated-region content is untouched.
+        z = z0 * mask + (1.0 - mask) * z
         if self.vae_compute is not None:
             z = z.astype(self.vae_compute)
         spec_img = self.ldm.decode_first_stage(vae_params, z)
@@ -444,7 +451,9 @@ class DiffFoleyPipeline:
         - ``spec_mask`` (n_mels, frames): 1 = KEEP from known_spec,
           0 = generate (``continuation_mask`` builds the keep-the-first-K
           -frames case). Min-pooled 8×8 to latent resolution, so only fully
-          known patches are pinned.
+          known patches are pinned. KEEP is exact (up to the VAE roundtrip):
+          after the per-step reference blend steers the trajectory, the
+          known latents are re-imposed once more before decoding.
 
         Returns the same dict as ``generate``. Requires a masked-capable
         sampler (``ddim`` — the default here — or ``ancestral``); the

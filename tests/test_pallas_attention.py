@@ -118,3 +118,76 @@ def test_backward_chunk_accumulation_exact():
     for a, b_ in zip(out, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "b,heads,lq,lk,d",
+    [
+        (2, 8, 1024, 1024, 40),   # flagship level-1 self-attn (multi-chunk)
+        (1, 8, 1024, 40, 40),     # level-1 cross-attn over 40 cond tokens
+        (2, 8, 256, 256, 80),     # level-2 self-attn
+        (1, 8, 64, 40, 160),      # level-3 cross-attn
+        (2, 4, 100, 30, 16),      # ragged: forces the split-heads fallback
+    ],
+)
+def test_packed_matches_xla(b, heads, lq, lk, d):
+    """Packed (B, L, H·D) kernel — in-VMEM static head slices — vs the
+    per-head XLA reference."""
+    rng = np.random.default_rng(5)
+    hd = heads * d
+    q3 = jnp.asarray(rng.normal(size=(b, lq, hd)), jnp.float32)
+    k3 = jnp.asarray(rng.normal(size=(b, lk, hd)), jnp.float32)
+    v3 = jnp.asarray(rng.normal(size=(b, lk, hd)), jnp.float32)
+    scale = d**-0.5
+    ref = pa._merge_heads(pa._xla_reference(
+        pa._split_heads(q3, heads), pa._split_heads(k3, heads),
+        pa._split_heads(v3, heads), scale))
+    out = pa.flash_attention_packed(q3, k3, v3, scale, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_packed_entry_backends_agree():
+    """ops.attention.multi_head_attention_packed: XLA backend equals the
+    historical split+einsum path bit-for-bit; Pallas backend within fp
+    tolerance."""
+    from diff_foley_tpu.ops import attention as att
+
+    rng = np.random.default_rng(6)
+    heads, d = 4, 40
+    q3 = jnp.asarray(rng.normal(size=(2, 64, heads * d)), jnp.float32)
+    k3 = jnp.asarray(rng.normal(size=(2, 24, heads * d)), jnp.float32)
+    v3 = jnp.asarray(rng.normal(size=(2, 24, heads * d)), jnp.float32)
+    legacy = pa._merge_heads(multi_head_attention(
+        pa._split_heads(q3, heads), pa._split_heads(k3, heads),
+        pa._split_heads(v3, heads), backend="xla"))
+    xla = att.multi_head_attention_packed(q3, k3, v3, heads, backend="xla")
+    np.testing.assert_array_equal(np.asarray(xla), np.asarray(legacy))
+    pallas = att.multi_head_attention_packed(
+        q3, k3, v3, heads, backend="pallas")
+    np.testing.assert_allclose(np.asarray(pallas), np.asarray(xla),
+                               atol=2e-5)
+
+
+def test_packed_gradient_matches_xla():
+    """flash_attention_packed's vjp (split → per-head backward → merge) vs
+    differentiating the XLA reference on packed operands."""
+    rng = np.random.default_rng(7)
+    heads, d = 2, 40
+    q3 = jnp.asarray(rng.normal(size=(1, 32, heads * d)), jnp.float32)
+    k3 = jnp.asarray(rng.normal(size=(1, 16, heads * d)), jnp.float32)
+    v3 = jnp.asarray(rng.normal(size=(1, 16, heads * d)), jnp.float32)
+    scale = d**-0.5
+
+    def loss_packed(q, k, v):
+        return jnp.sum(pa.flash_attention_packed(q, k, v, scale, heads) ** 2)
+
+    def loss_ref(q, k, v):
+        out = pa._merge_heads(pa._xla_reference(
+            pa._split_heads(q, heads), pa._split_heads(k, heads),
+            pa._split_heads(v, heads), scale))
+        return jnp.sum(out ** 2)
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2))(q3, k3, v3)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q3, k3, v3)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
