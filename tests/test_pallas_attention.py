@@ -191,3 +191,30 @@ def test_packed_gradient_matches_xla():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q3, k3, v3)
     for a, b_ in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_tiny_unet_pallas_backend_matches_xla():
+    """Model-level integration: a tiny attention UNet forward under the
+    Pallas backend (packed kernel, interpret mode) matches the XLA backend
+    — pins the heads/scale wiring through CrossAttention, not just the op."""
+    from diff_foley_tpu.models.unet import UNetConfig, UNetModel
+    from diff_foley_tpu.ops import attention as att
+
+    cfg = UNetConfig(model_channels=32, num_res_blocks=1, channel_mult=(1, 2),
+                     attention_resolutions=(2,), num_heads=4, context_dim=24)
+    model = UNetModel(cfg)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 4)), jnp.float32)
+    t = jnp.asarray([3.0, 7.0], jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(2, 6, 24)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+
+    prev = att.get_attention_backend()
+    try:
+        att.set_attention_backend("xla")
+        ref = model.apply(params, x, t, ctx)
+        att.set_attention_backend("pallas")
+        out = model.apply(params, x, t, ctx)
+    finally:
+        att.set_attention_backend(prev)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
