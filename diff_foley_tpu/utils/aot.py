@@ -25,6 +25,35 @@ import jax
 
 _DEFAULT = os.path.expanduser("~/.cache/diff_foley_tpu/aot")
 
+_CODE_FP: Optional[str] = None
+
+
+def _code_fingerprint() -> str:
+    """blake2 over the package's .py sources. Serialized executables bake
+    in the traced program, so a code upgrade that changes the lowering
+    (a new kernel, a different fusion boundary) must invalidate the cache
+    — otherwise a restart silently serves the OLD program: functionally
+    identical (both paths compute the same math) but performance-stale.
+    Computed once per process (~ms); misses fall back to jit, where the
+    content-addressed XLA compile cache still hits for unchanged HLO."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        import diff_foley_tpu
+
+        root = os.path.dirname(diff_foley_tpu.__file__)
+        h = hashlib.blake2b(digest_size=8)
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for name in sorted(filenames):
+                if not name.endswith(".py"):
+                    continue
+                p = os.path.join(dirpath, name)
+                h.update(os.path.relpath(p, root).encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+        _CODE_FP = h.hexdigest()
+    return _CODE_FP
+
 
 def aot_cache_dir(path: Optional[str] = None) -> str:
     path = path or os.environ.get("DFT_AOT_CACHE", _DEFAULT)
@@ -36,7 +65,8 @@ def cache_key(tag: str, **parts: Any) -> str:
     """Stable filename: tag + blake2 of the identifying parts + platform."""
     ident = repr(sorted(parts.items()))
     dev = jax.devices()[0]
-    env = f"{jax.__version__}-{getattr(dev, 'device_kind', dev.platform)}"
+    env = (f"{jax.__version__}-{getattr(dev, 'device_kind', dev.platform)}"
+           f"-{_code_fingerprint()}")
     if dev.platform == "cpu":
         # XLA:CPU executables bake in host ISA features (AMX/AVX-512 …);
         # loading one on a lesser host can SIGILL, which no try/except can
