@@ -397,12 +397,144 @@ def _packed_fwd(q3, k3, v3, scale, heads):
     return flash_attention_packed(q3, k3, v3, scale, heads), (q3, k3, v3)
 
 
+def _attn_packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref,
+                            dq_ref, dk_ref, dv_ref, *, scale: float,
+                            heads: int, d: int, d_pad: int):
+    """Packed twin of _attn_bwd_kernel: one query chunk of one batch row,
+    all heads as a static lane-slice loop (same trick as the packed
+    forward). dQ is emitted per chunk; fp32 dK/dV blocks are revisited
+    across chunks (grid dim 1 fastest → blocks stay resident)."""
+    q = q_ref[0]                      # (Qc, H·D)
+    k = k_ref[0]                      # (Lk, H·D)
+    v = v_ref[0]
+    g = g_ref[0]                      # (Qc, H·D)
+    dqs, dks, dvs = [], [], []
+    for h in range(heads):
+        qh = _pad_lanes(q[:, h * d:(h + 1) * d], d_pad)
+        kh = _pad_lanes(k[:, h * d:(h + 1) * d], d_pad)
+        vh = _pad_lanes(v[:, h * d:(h + 1) * d], d_pad)
+        gh = _pad_lanes(g[:, h * d:(h + 1) * d], d_pad)
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                     # (Qc, Lk) fp32; no padded keys
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        p_lp = p.astype(g.dtype)
+        dvs.append(jax.lax.dot_general(           # Pᵀ g → (Lk, D_pad)
+            p_lp, gh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[:, :d])
+        gp = jax.lax.dot_general(                 # g Vᵀ → (Qc, Lk) fp32
+            gh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (gp - jnp.sum(gp * p, axis=-1, keepdims=True))
+        ds = ds.astype(q.dtype)
+        dqs.append((jax.lax.dot_general(          # dS K → (Qc, D_pad)
+            ds, kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale)[:, :d])
+        dks.append((jax.lax.dot_general(          # dSᵀ Q → (Lk, D_pad)
+            ds, qh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale)[:, :d])
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
+    dk = jnp.concatenate(dks, axis=-1)            # (Lk, H·D) fp32
+    dv = jnp.concatenate(dvs, axis=-1)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dk_ref[0] = dk
+        dv_ref[0] = dv
+
+    @pl.when(pl.program_id(1) != 0)
+    def _accum():
+        dk_ref[0] += dk
+        dv_ref[0] += dv
+
+
+def _packed_bwd_q_chunk(lq: int, lk: int, hd: int, d: int,
+                        itemsize: int) -> int | None:
+    """VMEM sizing for the packed backward grid step: K/V input blocks
+    (×2 buffers), fp32 dK/dV accumulator blocks, one head's padded
+    operands, the fp32 (Qc, Lk) score/gp/dS scratch, Q/dO/dQ chunks, and
+    concat staging; None → split-heads backward fallback. The budget is
+    calibrated against Mosaic's ACTUAL scoped-vmem accounting on the
+    flagship level-1 self-attn (Lk 1024, H·D 320): at qc=256 this model
+    says 12.7 MB but Mosaic allocates 18 MB (> the 16 MB scoped limit),
+    so the cap below is 11 MB in model units, which selects qc=128 for
+    that shape — the shape the kernel exists for."""
+    lk_pad = _round_up(lk, 128)
+    d_pad = _round_up(d, 128)
+    fixed = (
+        2 * 2 * lk * hd * itemsize      # k, v input blocks, ×2 buffers
+        + 2 * lk * hd * 4               # fp32 dK/dV accumulators
+        + 3 * lk * d_pad * itemsize     # padded kh/vh + dS
+        + 2 * lk * hd * 4               # dk/dv concat staging
+    )
+    if fixed > 10 * 1024 * 1024:
+        return None
+    for qc in (256, 128, 64, 32, 16, 8):
+        if qc > lq or lq % qc:
+            continue
+        per = (
+            2 * 3 * qc * hd * itemsize          # q, g in + dq out, ×2
+            + qc * lk_pad * (2 * 4 + itemsize)  # s/p + gp/ds fp32, p low-prec
+            + 2 * qc * d_pad * itemsize         # padded qh/gh
+            + qc * hd * 4                       # dq concat staging
+        )
+        if fixed + per <= 11 * 1024 * 1024:
+            return qc
+    return None
+
+
+def _pallas_backward_packed(q3, k3, v3, g3, scale: float, heads: int):
+    b, lq, hd = q3.shape
+    lk = k3.shape[1]
+    d = hd // heads
+    d_pad = _round_up(d, 128)
+    qc = _packed_bwd_q_chunk(lq, lk, hd, d, q3.dtype.itemsize)
+    kv_spec = pl.BlockSpec((1, lk, hd), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    qg_spec = pl.BlockSpec((1, qc, hd), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        partial(_attn_packed_bwd_kernel, scale=scale, heads=heads, d=d,
+                d_pad=d_pad),
+        grid=(b, lq // qc),
+        in_specs=[qg_spec, kv_spec, kv_spec, qg_spec],
+        out_specs=[qg_spec, kv_spec, kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lq, hd), q3.dtype),
+            jax.ShapeDtypeStruct((b, lk, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, lk, hd), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * heads * lq * lk * d_pad,
+            bytes_accessed=3 * q3.size * q3.dtype.itemsize
+            + 2 * (k3.size + v3.size) * q3.dtype.itemsize,
+            transcendentals=b * heads * lq * lk,
+        ),
+    )(q3, k3, v3, g3)
+    return dq, dk.astype(q3.dtype), dv.astype(q3.dtype)
+
+
 def _packed_bwd(scale, heads, res, g3):
-    # reuse the per-head backward (chunked Pallas kernel or XLA recompute —
-    # same dispatch as flash_attention's own vjp); the split/merge
-    # transposes here run inside the backward pass only, where today's
-    # unpacked forward already pays them
     q3, k3, v3 = res
+    hd = q3.shape[-1]
+    if (
+        _BWD_IMPL == "pallas"
+        and hd % heads == 0
+        and _packed_bwd_q_chunk(q3.shape[1], k3.shape[1], hd, hd // heads,
+                                q3.dtype.itemsize) is not None
+    ):
+        return _pallas_backward_packed(q3, k3, v3, g3, scale, heads)
+    # fallback: per-head backward (chunked Pallas kernel or XLA recompute —
+    # same dispatch as flash_attention's own vjp); the split/merge
+    # transposes run in the backward only, where the historical unpacked
+    # forward already paid them
     dq, dk, dv = _bwd(scale, (_split_heads(q3, heads),
                               _split_heads(k3, heads),
                               _split_heads(v3, heads)),

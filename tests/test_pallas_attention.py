@@ -168,14 +168,23 @@ def test_packed_entry_backends_agree():
                                atol=2e-5)
 
 
-def test_packed_gradient_matches_xla():
-    """flash_attention_packed's vjp (split → per-head backward → merge) vs
-    differentiating the XLA reference on packed operands."""
+@pytest.mark.parametrize(
+    "b,heads,lq,lk,d",
+    [
+        (1, 2, 32, 16, 40),      # packed bwd kernel, single chunk
+        (1, 8, 512, 512, 40),    # multi-chunk: dK/dV accumulation across qc
+        (1, 8, 1024, 40, 40),    # cross-attn shape
+        (2, 4, 100, 30, 16),     # ragged: split-heads fallback path
+    ],
+)
+def test_packed_gradient_matches_xla(b, heads, lq, lk, d):
+    """flash_attention_packed's vjp (packed Pallas backward kernel, or the
+    split → per-head → merge fallback) vs differentiating the XLA
+    reference on packed operands."""
     rng = np.random.default_rng(7)
-    heads, d = 2, 40
-    q3 = jnp.asarray(rng.normal(size=(1, 32, heads * d)), jnp.float32)
-    k3 = jnp.asarray(rng.normal(size=(1, 16, heads * d)), jnp.float32)
-    v3 = jnp.asarray(rng.normal(size=(1, 16, heads * d)), jnp.float32)
+    q3 = jnp.asarray(rng.normal(size=(b, lq, heads * d)), jnp.float32)
+    k3 = jnp.asarray(rng.normal(size=(b, lk, heads * d)), jnp.float32)
+    v3 = jnp.asarray(rng.normal(size=(b, lk, heads * d)), jnp.float32)
     scale = d**-0.5
 
     def loss_packed(q, k, v):
